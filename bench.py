@@ -1,0 +1,79 @@
+"""Benchmark: DP-GMM mean-field VI sweep throughput on the north-star
+workload (N=1e6 points, K=50 components, d=2; BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline` compares against the reference (hanyas/mimo, NumPy) running
+the same model/update on CPU, measured by scripts/measure_reference.py on
+this machine (frozen below with provenance). Also prints per-engine detail
+lines to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp
+
+from mimo_tpu.models.gmm import BayesianGMM
+from mimo_tpu.distributions.niw import GaussParams
+
+# Frozen CPU baseline, measured 2026-08-17 with scripts/measure_reference.py
+# on this machine (reference @ /root/reference, NumPy/OpenBLAS):
+#   N=1e4: VI 9.692 iters/s | N=1e5: VI 0.296 iters/s (superlinear falloff:
+#   the fold=False N x d x d expected-stats path, gaussian.py:474-485).
+# N=1e6 extrapolates to ~0.03 iters/s; we use the measured 1e5 rate scaled
+# by 10x as a CONSERVATIVE (favorable-to-reference) linear extrapolation
+# unless scripts/measure_reference.py has produced a 1e6 number.
+REFERENCE_VI_ITERS_PER_S_1E6 = 0.0296
+
+N, K, D = 1_000_000, 50, 2
+ITERS = 100
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    mu = jnp.array([[-3., 0.], [3., 0.], [0., 4.]])
+    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(key, GaussParams(mu, lm),
+                                jnp.array([.3, .4, .3]), N)
+    model = BayesianGMM.make(size=K, dim=D, gating='dp', alpha=1.0,
+                             kappa=0.05, psi_scale=0.5)
+
+    # warm-up (compile)
+    state, vlb = model.fit_vi(x, key=1, maxiter=ITERS)
+    jax.block_until_ready(vlb)
+    assert bool(jnp.isfinite(vlb[-1])), 'non-finite ELBO'
+
+    t0 = time.time()
+    state, vlb = model.fit_vi(x, key=1, maxiter=ITERS)
+    jax.block_until_ready(vlb)
+    vi_rate = ITERS / (time.time() - t0)
+
+    gs = model.fit_gibbs(x, key=2, maxiter=ITERS)
+    jax.block_until_ready(gs.labels)
+    t0 = time.time()
+    gs = model.fit_gibbs(x, key=2, maxiter=ITERS)
+    jax.block_until_ready(gs.labels)
+    gibbs_rate = ITERS / (time.time() - t0)
+
+    print(f'# VI {vi_rate:.1f} iters/s | Gibbs {gibbs_rate:.1f} sweeps/s '
+          f'(N={N}, K={K}, d={D}) | final ELBO {float(vlb[-1]):.4g}',
+          file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'dpgmm_vi_iters_per_s_n1e6_k50',
+        'value': round(vi_rate, 2),
+        'unit': 'iters/s',
+        'vs_baseline': round(vi_rate / REFERENCE_VI_ITERS_PER_S_1E6, 1),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,194 @@
+"""Infinite mixture of linear regressions (ILR) — Bayesian mixture of
+linear-Gaussian experts with Gaussian basis functions.
+
+TPU-native re-design of mimo/mixtures/ilr.py: the joint density
+p(x, y, z=k) = gating(k) * basis_k(x) * model_k(y | x) is a product
+conjugate family, so all four inference engines come for free from the
+generic `BayesianMixture`; this class adds the prediction machinery
+(posterior-predictive weights, per-expert Student-t moments, moment-matched
+mixture prediction, NLPD — ilr.py:325-430).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from mimo_tpu.conjugate.families import (
+    gaussian_family, ilr_family, linear_family, diag_linear_family,
+    tied_family,
+)
+from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
+from mimo_tpu.distributions import niw as _niw
+from mimo_tpu.distributions import mnw as _mnw
+from mimo_tpu.distributions import mng as _mng
+from mimo_tpu.distributions.mnw import augment
+from mimo_tpu.distributions.niw import NIW
+from mimo_tpu.distributions.mnw import MNW
+from mimo_tpu.distributions.mng import MNG
+from mimo_tpu.models.mixture import BayesianMixture, MFState
+from mimo_tpu.utils.data import Standardizer
+from mimo_tpu.utils.stats import normalize_log
+
+
+class BayesianILR(BayesianMixture):
+    """Bayesian mixture of linear-Gaussian experts.
+
+    components_prior = (basis_prior: NIW, models_prior: MNW | MNG); the
+    experts are affine by default (ones column appended to x,
+    lingauss.py:107-108).
+    """
+
+    def __init__(self, gating_prior, basis_prior: NIW, models_prior,
+                 affine=True):
+        if isinstance(models_prior, MNW):
+            diag = False
+        elif isinstance(models_prior, MNG):
+            diag = True
+        else:
+            raise TypeError(f'unsupported models prior: {type(models_prior)}')
+        self.affine = affine
+        self.diag = diag
+        self.input_dim = basis_prior.mu.shape[-1]
+        self.output_dim = models_prior.M.shape[-2]
+        family = ilr_family(affine=affine, diag=diag)
+        super().__init__(gating_prior, (basis_prior, models_prior), family)
+        self.input_transform: Optional[Standardizer] = None
+        self.output_transform: Optional[Standardizer] = None
+
+    @staticmethod
+    def make(size, input_dim, output_dim, gating='stick-breaking', alpha=1.0,
+             affine=True, diag=False, kappa=1e-2, K_scale=1e-2,
+             psi_scale=1.0, basis_psi_scale=1.0, dtype=jnp.float32):
+        """Convenience constructor mirroring the reference examples' prior
+        construction (evaluate_sine.py:88-127)."""
+        if gating == 'dirichlet':
+            g = Dirichlet.standard(size, alpha, dtype)
+        else:
+            g = StickBreaking.standard(size, alpha, dtype)
+        basis = NIW.standard(size, input_dim, kappa=kappa,
+                             psi_scale=basis_psi_scale, dtype=dtype)
+        q = input_dim + (1 if affine else 0)
+        if diag:
+            models = MNG.standard(size, output_dim, q, K_scale=K_scale,
+                                  dtype=dtype)
+        else:
+            models = MNW.standard(size, output_dim, q, K_scale=K_scale,
+                                  psi_scale=psi_scale, dtype=dtype)
+        return BayesianILR(g, basis, models, affine=affine)
+
+    # -- standardization (ilr.py:107-127) ----------------------------------
+
+    def init_transform(self, x, y):
+        self.input_transform = Standardizer.fit(x)
+        self.output_transform = Standardizer.fit(y)
+
+    def _tx(self, x):
+        return x if self.input_transform is None \
+            else self.input_transform.transform(x)
+
+    def _ty(self, y):
+        return y if self.output_transform is None \
+            else self.output_transform.transform(y)
+
+    def fit_vi(self, data, **kw):
+        x, y = data
+        return super().fit_vi((self._tx(x), self._ty(y)), **kw)
+
+    def fit_svi(self, data, **kw):
+        x, y = data
+        return super().fit_svi((self._tx(x), self._ty(y)), **kw)
+
+    def fit_gibbs(self, data, **kw):
+        x, y = data
+        return super().fit_gibbs((self._tx(x), self._ty(y)), **kw)
+
+    # -- prediction (ilr.py:325-430) ----------------------------------------
+
+    def predictive_weights(self, state: MFState, x, dist='studentt'):
+        """Input-conditional expert weights (ilr.py:339-347):
+        softmax_k [ log E[pi_k] + log basis-predictive_k(x) ] -> (N, K)."""
+        basis_post, _ = state.components
+        log_basis = (_niw.log_predictive_studentt(basis_post, x)
+                     if dist == 'studentt'
+                     else _niw.log_predictive_gaussian(basis_post, x))
+        log_w = log_basis + self.predictive_log_weights(state)[None, :]
+        weights, _ = normalize_log(log_w)
+        return weights
+
+    def predictive_moments(self, state: MFState, x, dist='studentt'):
+        """Per-expert predictive mean (N, K, p) and covariance
+        (N, K, p, p) or diagonal (N, K, p) (ilr.py:349-357)."""
+        _, models_post = state.components
+        xa = augment(x, self.affine)
+        if self.diag:
+            fn = (_mng.predictive_moments_studentt if dist == 'studentt'
+                  else _mng.predictive_moments_gaussian)
+        else:
+            fn = (_mnw.predictive_moments_studentt if dist == 'studentt'
+                  else _mnw.predictive_moments_gaussian)
+        return fn(models_post, xa)
+
+    @staticmethod
+    def mixture_moments(mus, covars, weights, diag):
+        """Moment matching of a mixture (ilr.py:364-372); weights (N, K)."""
+        mu = jnp.einsum('nkp,nk->np', mus, weights)
+        if diag:
+            second = covars + jnp.square(mus)
+            var = jnp.einsum('nkp,nk->np', second, weights) - jnp.square(mu)
+            return mu, var
+        second = covars + mus[..., :, None] * mus[..., None, :]
+        cov = jnp.einsum('nkpr,nk->npr', second, weights) \
+            - mu[..., :, None] * mu[..., None, :]
+        return mu, cov
+
+    def log_predictive_likelihood(self, state: MFState, x, y,
+                                  dist='studentt'):
+        """Per-expert log p(y | x) under the posterior predictive -> (N, K)
+        (ilr.py:359-362)."""
+        _, models_post = state.components
+        xa = augment(x, self.affine)
+        if self.diag:
+            fn = (_mng.log_predictive_studentt if dist == 'studentt'
+                  else _mng.log_predictive_gaussian)
+        else:
+            fn = (_mnw.log_predictive_studentt if dist == 'studentt'
+                  else _mnw.log_predictive_gaussian)
+        return fn(models_post, xa, y)
+
+    def predict(self, state: MFState, x, y=None, prediction='average',
+                dist='studentt'):
+        """Posterior-predictive regression (ilr.py:374-430).
+
+        Returns (mean, var_diag, std, nlpd) with nlpd None unless y given.
+        Handles the optional standardization round-trip.
+        """
+        xx = self._tx(x)
+        weights = self.predictive_weights(state, xx, dist)
+        mus, covars = self.predictive_moments(state, xx, dist)
+
+        if prediction == 'mode':
+            k = jnp.argmax(weights, axis=-1)
+            idx = jnp.arange(x.shape[0])
+            mu = mus[idx, k]
+            cov = covars[idx, k]
+        else:
+            mu, cov = self.mixture_moments(mus, covars, weights, self.diag)
+
+        nlpd = None
+        if y is not None:
+            yy = self._ty(y)
+            log_pl = self.log_predictive_likelihood(state, xx, yy, dist)
+            log_w = jnp.log(weights + 1e-37)
+            nlpd = -logsumexp(log_pl + log_w, axis=-1)
+
+        if self.output_transform is not None:
+            mu = self.output_transform.inverse_transform(mu)
+            if self.diag:
+                cov = cov * jnp.square(self.output_transform.scale)
+            else:
+                cov = self.output_transform.scale_cov(cov)
+
+        var = cov if self.diag else jnp.diagonal(cov, axis1=-2, axis2=-1)
+        return mu, var, jnp.sqrt(var), nlpd

@@ -1,0 +1,358 @@
+"""Generic Bayesian mixture engine: EM/MAP, blocked Gibbs, mean-field VI and
+stochastic VI over any conjugate Family.
+
+This single engine subsumes the loop code of the reference's four mixture
+classes (gmm.py:147-371, ilr.py:87-323, hgmm.py, hilr.py): each inference
+loop is a jitted `lax.scan` over an immutable state pytree; the component
+axis K is batched; label sampling is one `jax.random.categorical`; all
+hot reductions are matmuls that pjit can shard over a data-parallel mesh.
+
+Update-rule contract (bayesian.py:209-238):
+  MAP    : post = prior (+) stats;            params <- mode(post)
+  Gibbs  : post = prior (+) stats(one-hot);   params ~  post
+  VI     : post = prior (+) stats(resp)
+  SVI    : nat(post) <- (1-rho) nat(post) + rho (nat(prior) + stats/scale)
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimo_tpu.conjugate.families import Family
+from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
+from mimo_tpu.utils.data import one_hot, sample_batch_indices
+from mimo_tpu.utils.stats import (
+    entropy_categorical, normalize_log, sample_categorical_from_log,
+)
+
+
+class MFState(NamedTuple):
+    """Mean-field / MAP state: the variational posterior."""
+    components: Any          # family posterior struct (K-batched)
+    gating: Any              # Dirichlet or StickBreaking posterior
+
+
+class GibbsState(NamedTuple):
+    """Blocked-Gibbs state: current conditionals + sampled likelihood params."""
+    components: Any          # component posterior (conditional on labels)
+    gating: Any              # gating posterior (conditional on labels)
+    params: Any              # sampled likelihood params
+    log_pi: jax.Array        # log of sampled mixture weights (K,)
+    labels: jax.Array        # (N,) int32
+
+
+class EMState(NamedTuple):
+    """Maximum-likelihood EM state (non-Bayesian, gmm.py:16-103)."""
+    params: Any              # likelihood params
+    log_pi: jax.Array        # (K,)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def reanchor(state: MFState) -> MFState:
+    """prior <- posterior re-anchoring between super-iterations — the
+    flagship ILR recipe's warm-start (evaluate_sine.py:153-155). Returns the
+    posterior as a pytree suitable to use as the new priors."""
+    return state
+
+
+class BayesianMixture:
+    """A Bayesian mixture of `K` conjugate-family components with a
+    Dirichlet or stick-breaking (DP) gating prior.
+
+    Pure-functional core: `self` holds only static configuration (the
+    Family's functions) and prior pytrees; every fit method is a jitted
+    pure function of (priors, data, key).
+    """
+
+    def __init__(self, gating_prior, components_prior, family: Family):
+        self.gating_prior = gating_prior
+        self.components_prior = components_prior
+        self.family = family
+        self.size = gating_prior.dim
+        self._cache = {}
+
+    # -- functional pieces ------------------------------------------------
+
+    def expected_log_complete(self, state: MFState, data):
+        """E_q[log p(x, z=k)] -> (N, K) (gmm.py:244-254, ilr.py:178-189)."""
+        ell = self.family.ell(state.components, data)
+        return ell + state.gating.expected_log_pi()[None, :]
+
+    def expected_responsibilities(self, state: MFState, data):
+        resp, _ = normalize_log(self.expected_log_complete(state, data))
+        return resp
+
+    def log_complete_likelihood(self, params, log_pi, data):
+        """log p(x, z=k) under plug-in params (gmm.py:67-70)."""
+        return self.family.loglik(params, data) + log_pi[None, :]
+
+    def _mf_update(self, data, resp) -> MFState:
+        stats = self.family.suff_stats(data, resp)
+        counts = jnp.sum(resp, axis=0)
+        return MFState(
+            components=self.family.update(self.components_prior, stats),
+            gating=self.gating_prior.update(counts),
+        )
+
+    def elbo(self, state: MFState, data, resp):
+        """Variational lower bound (gmm.py:338-364 decomposition):
+        -KL(gating) - sum_k KL(comp_k) + data term + label terms."""
+        data_term = jnp.sum(resp * self.family.ell(state.components, data))
+        label_term = (state.gating.label_elbo_terms(resp)
+                      + jnp.sum(entropy_categorical(resp, axis=-1)))
+        kl_comp = jnp.sum(self.family.kl(state.components, self.components_prior))
+        kl_gating = jnp.sum(state.gating.kl_divergence(self.gating_prior))
+        return data_term + label_term - kl_comp - kl_gating
+
+    # -- mean-field VI (gmm.py:261-297) -----------------------------------
+
+    def _vi_sweep(self, state_resp, data):
+        _, resp = state_resp
+        state = self._mf_update(data, resp)
+        resp = self.expected_responsibilities(state, data)
+        vlb = self.elbo(state, data, resp)
+        return (state, resp), vlb
+
+    def fit_vi(self, data, key=None, maxiter=250, init_state=None,
+               randomize=True):
+        """Mean-field coordinate ascent. Returns (MFState, vlb_trace).
+
+        `randomize=True` starts from random responsibilities (gmm.py:266-268);
+        pass `init_state` (e.g. from Gibbs) with randomize=False to warm-start.
+        """
+        data = _as_tuple(data)
+        key = _as_key(key)
+        fn = self._jitted('vi', maxiter=maxiter, randomize=randomize,
+                          warm=init_state is not None)
+
+        def run(data, key, init_state):
+            n = data[0].shape[0]
+            if randomize or init_state is None:
+                resp = _random_resp(key, n, self.size, data[0].dtype)
+            else:
+                resp = self.expected_responsibilities(init_state, data)
+            state = self._mf_update(data, resp)
+
+            def step(carry, _):
+                return self._vi_sweep(carry, data)
+
+            (state, resp), vlb = jax.lax.scan(
+                step, (state, self.expected_responsibilities(state, data)),
+                None, length=maxiter)
+            return state, vlb
+
+        return fn(run, data, key, init_state)
+
+    # -- stochastic VI (gmm.py:300-336) ------------------------------------
+
+    def fit_svi(self, data, key=None, maxiter=500, step_size=1e-2,
+                batch_size=128, init_state=None, randomize=True,
+                track_elbo=False):
+        """Stochastic natural-gradient VI: one random minibatch per step
+        (matching the reference's `batches` semantics, data.py:9-12), fixed
+        step size, nat-space blending. Returns (MFState, vlb_trace) where
+        the trace is full-data ELBO per step if track_elbo else zeros."""
+        data = _as_tuple(data)
+        key = _as_key(key)
+        fn = self._jitted('svi', maxiter=maxiter, batch_size=batch_size,
+                          randomize=randomize, track_elbo=track_elbo,
+                          warm=init_state is not None)
+
+        def run(data, key, init_state, step_size):
+            n = data[0].shape[0]
+            scale = batch_size / n
+            k_init, k_loop = jax.random.split(key)
+            if init_state is None:
+                resp0 = _random_resp(k_init, n, self.size, data[0].dtype)
+                state = self._mf_update(data, resp0)
+            else:
+                state = init_state
+
+            def step(carry, k):
+                state = carry
+                k_batch, k_resp = jax.random.split(k)
+                idx = sample_batch_indices(k_batch, n, batch_size)
+                batch = tuple(d[idx] for d in data)
+                resp = self.expected_responsibilities(state, batch)
+                stats = self.family.suff_stats(batch, resp)
+                counts = jnp.sum(resp, axis=0)
+                new = MFState(
+                    components=self.family.svi_blend(
+                        state.components, self.components_prior,
+                        stats, scale, step_size),
+                    gating=self.gating_prior.svi_blend(
+                        state.gating, counts, scale, step_size),
+                )
+                if track_elbo:
+                    full_resp = self.expected_responsibilities(new, data)
+                    vlb = self.elbo(new, data, full_resp)
+                else:
+                    vlb = jnp.zeros((), data[0].dtype)
+                return new, vlb
+
+            keys = jax.random.split(k_loop, maxiter)
+            state, vlb = jax.lax.scan(step, state, keys)
+            return state, vlb
+
+        return fn(run, data, key, init_state, step_size)
+
+    # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
+
+    def _gibbs_sweep(self, state: GibbsState, data, key):
+        """components | labels -> gating | labels -> labels | params."""
+        resp = one_hot(state.labels, self.size, dtype=data[0].dtype)
+        stats = self.family.suff_stats(data, resp)
+        counts = jnp.sum(resp, axis=0)
+        comp_post = self.family.update(self.components_prior, stats)
+        gating_post = self.gating_prior.update(counts)
+
+        k_comp, k_gate, k_lab = jax.random.split(key, 3)
+        params = self.family.sample_params(k_comp, comp_post)
+        probs = gating_post.sample(k_gate)
+        log_pi = jnp.log(jnp.clip(probs, 1e-37, None))  # bayesian.py:75 clip
+
+        log_p = self.log_complete_likelihood(params, log_pi, data)
+        labels = sample_categorical_from_log(k_lab, log_p, axis=-1)
+        return GibbsState(components=comp_post, gating=gating_post,
+                          params=params, log_pi=log_pi, labels=labels)
+
+    def fit_gibbs(self, data, key=None, maxiter=100, init_labels='prior'):
+        """Blocked Gibbs sampling. Returns the final GibbsState."""
+        data = _as_tuple(data)
+        key = _as_key(key)
+        fn = self._jitted('gibbs', maxiter=maxiter, init_labels=init_labels)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            k_init, k_loop = jax.random.split(key)
+            if init_labels == 'random':
+                labels = jax.random.randint(k_init, (n,), 0, self.size)
+            else:  # 'prior'
+                k_pi, k_z = jax.random.split(k_init)
+                probs = self.gating_prior.sample(k_pi)
+                labels = jax.random.categorical(
+                    k_z, jnp.broadcast_to(jnp.log(jnp.clip(probs, 1e-37, None)),
+                                          (n, self.size)), axis=-1)
+            state = GibbsState(
+                components=self.components_prior,
+                gating=self.gating_prior,
+                params=self.family.mode_params(self.components_prior),
+                log_pi=jnp.log(jnp.full((self.size,), 1.0 / self.size,
+                                        data[0].dtype)),
+                labels=labels)
+
+            def step(state, k):
+                return self._gibbs_sweep(state, data, k), None
+
+            keys = jax.random.split(k_loop, maxiter)
+            state, _ = jax.lax.scan(step, state, keys)
+            return state
+
+        return fn(run, data, key)
+
+    # -- MAP EM (gmm.py:176-204) --------------------------------------------
+
+    def fit_map(self, data, key=None, maxiter=250, randomize=True):
+        """MAP expectation-maximization: posterior update + mode plug-in.
+        Returns (MFState, log-posterior-ish trace of complete-data loglik)."""
+        data = _as_tuple(data)
+        key = _as_key(key)
+        fn = self._jitted('map', maxiter=maxiter, randomize=randomize)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            resp = _random_resp(key, n, self.size, data[0].dtype)
+
+            def step(resp, _):
+                state = self._mf_update(data, resp)
+                params = self.family.mode_params(state.components)
+                log_pi = jnp.log(jnp.clip(state.gating.mode(), 1e-37, None))
+                log_p = self.log_complete_likelihood(params, log_pi, data)
+                new_resp, lognorm = normalize_log(log_p)
+                return new_resp, jnp.sum(lognorm)
+
+            resp, trace = jax.lax.scan(step, resp, None, length=maxiter)
+            state = self._mf_update(data, resp)
+            return state, trace
+
+        return fn(run, data, key)
+
+    # -- prediction & diagnostics -------------------------------------------
+
+    def predictive_log_weights(self, state: MFState):
+        """log E_q[pi] — posterior-mean mixture weights (ilr.py:343)."""
+        return jnp.log(jnp.clip(state.gating.mean(), 1e-37, None))
+
+    def log_predictive(self, state: MFState, data, dist='studentt'):
+        """Posterior-predictive mixture log-density of full observations:
+        logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,)."""
+        data = _as_tuple(data)
+        lp = (self.family.log_predictive(state.components, data)
+              if dist == 'studentt'
+              else self.family.log_predictive_gaussian(state.components, data))
+        log_w = self.predictive_log_weights(state)
+        return jax.scipy.special.logsumexp(lp + log_w[None, :], axis=-1)
+
+    def used_labels(self, state: MFState, data, threshold=0):
+        """Bincount of argmax responsibilities (gmm.py:168-173)."""
+        data = _as_tuple(data)
+        resp = self.expected_responsibilities(state, data)
+        labels = jnp.argmax(resp, axis=-1)
+        usage = jnp.bincount(labels, length=self.size)
+        return usage > threshold
+
+    def with_priors(self, state: MFState) -> 'BayesianMixture':
+        """New model whose priors are this state's posteriors — the
+        prior <- posterior re-anchoring API (evaluate_sine.py:153-155)."""
+        return type(self)._from_parts(state.gating, state.components,
+                                      self.family, like=self)
+
+    @classmethod
+    def _from_parts(cls, gating_prior, components_prior, family, like=None):
+        obj = cls.__new__(cls)
+        BayesianMixture.__init__(obj, gating_prior, components_prior, family)
+        if like is not None:
+            obj.__dict__.update({k: v for k, v in like.__dict__.items()
+                                 if k not in obj.__dict__})
+        return obj
+
+    # -- jit plumbing --------------------------------------------------------
+
+    def _jitted(self, name, **statics):
+        """Cache a jitted runner per (method, static-config). The runner's
+        first argument is the (non-hashable) python closure `run`; we wrap so
+        jit only sees array pytrees."""
+        key = (name, tuple(sorted(statics.items())))
+        if key not in self._cache:
+            dispatcher = {}
+
+            def wrapper(run, *args):
+                if 'fn' not in dispatcher:
+                    dispatcher['fn'] = jax.jit(run)
+                return dispatcher['fn'](*args)
+
+            self._cache[key] = wrapper
+        return self._cache[key]
+
+
+def _as_tuple(data):
+    return data if isinstance(data, tuple) else (data,)
+
+
+def _as_key(key):
+    if key is None:
+        return jax.random.PRNGKey(0)
+    if isinstance(key, int):
+        return jax.random.PRNGKey(key)
+    return key
+
+
+def _random_resp(key, n, k, dtype):
+    """Random normalized responsibilities (gmm.py:266-268)."""
+    r = jax.random.uniform(key, (n, k), dtype=dtype, minval=1e-3, maxval=1.0)
+    return r / jnp.sum(r, axis=-1, keepdims=True)

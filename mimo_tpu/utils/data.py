@@ -1,0 +1,59 @@
+"""Data helpers: one-hot labels, minibatch sampling, standardization.
+
+TPU-native counterpart of /root/reference/mimo/utils/data.py. The
+reference's `StandardScaler` (sklearn) becomes a pure pytree transform so
+it can live inside jitted prediction paths; its `batches` generator (one
+random subset per epoch, data.py:9-12) becomes an on-device index draw.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot(labels, num_classes, dtype=jnp.float32):
+    """(N,) int labels -> (N, K) one-hot. Reference: utils/data.py:160-169
+    (transposed: we use (N, K) layout)."""
+    return jax.nn.one_hot(labels, num_classes, dtype=dtype)
+
+
+def sample_batch_indices(key, data_size, batch_size):
+    """One random minibatch of indices per call, without replacement.
+
+    Mirrors the semantics of the reference's `batches` (utils/data.py:9-12),
+    which yields a single random `batch_size` subset per epoch.
+    """
+    return jax.random.choice(key, data_size, shape=(batch_size,), replace=False)
+
+
+class Standardizer(NamedTuple):
+    """Pure-pytree StandardScaler (mean/std over axis 0).
+
+    Replaces sklearn.preprocessing.StandardScaler used by the reference ILR
+    (ilr.py:108-127) so that scaling can run inside jit.
+    """
+    mean: jax.Array
+    scale: jax.Array  # standard deviation
+
+    @staticmethod
+    def fit(x):
+        mean = jnp.mean(x, axis=0)
+        scale = jnp.std(x, axis=0)
+        scale = jnp.where(scale > 0, scale, 1.0)
+        return Standardizer(mean=mean, scale=scale)
+
+    @staticmethod
+    def identity(dim, dtype=jnp.float32):
+        return Standardizer(mean=jnp.zeros(dim, dtype), scale=jnp.ones(dim, dtype))
+
+    def transform(self, x):
+        return (x - self.mean) / self.scale
+
+    def inverse_transform(self, x):
+        return x * self.scale + self.mean
+
+    def scale_cov(self, cov):
+        """Map covariance matrices back to the original output scale
+        (reference ilr.py:413-414)."""
+        return cov * (self.scale[:, None] * self.scale[None, :])

@@ -1,0 +1,85 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded runs must
+equal replicated runs (the fake-backend layer the reference lacks,
+SURVEY.md §4 item 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimo_tpu.distributions.niw import GaussParams
+from mimo_tpu.models.gmm import BayesianGMM
+from mimo_tpu.models.ilr import BayesianILR
+from mimo_tpu.models.mixture import MFState
+from mimo_tpu.parallel.mesh import make_mesh, shard_data, data_parallel_fit
+
+
+@pytest.fixture(scope='module')
+def data():
+    key = jax.random.PRNGKey(3)
+    mu = jnp.array([[-4., 0.], [4., 0.], [0., 5.]], dtype=jnp.float64)
+    lm = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float64) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(key, GaussParams(mu, lm),
+                                jnp.array([.3, .4, .3]), 4096)
+    return x.astype(jnp.float64)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_vi_sharded_equals_replicated(data):
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    ref_state, ref_vlb = m.fit_vi(data, key=1, maxiter=40)
+
+    m2 = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                          kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    sh_state, sh_vlb = data_parallel_fit(m2, 'fit_vi', data, key=1,
+                                         maxiter=40)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sh_state.components.mu),
+                               np.asarray(ref_state.components.mu), rtol=1e-8)
+
+
+def test_gibbs_sharded_runs(data):
+    """Gibbs with sharded data: same program, sharded labels; check shapes
+    and cluster mass (exact label equality isn't expected: sampling)."""
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    state = data_parallel_fit(m, 'fit_gibbs', data, key=2, maxiter=60)
+    counts = np.bincount(np.asarray(state.labels), minlength=8)
+    assert counts.sum() == data.shape[0]
+    assert np.sort(counts)[-4:].sum() > 0.8 * data.shape[0]
+
+
+def test_suffstats_psum_equivalence(data):
+    """Sharded sufficient statistics == replicated (the core reduction)."""
+    from mimo_tpu.distributions.niw import suff_stats
+    mesh = make_mesh()
+    resp = jax.random.uniform(jax.random.PRNGKey(0),
+                              (data.shape[0], 8), dtype=jnp.float64)
+    want = suff_stats(data, resp)
+    xs = shard_data(mesh, data)
+    rs = shard_data(mesh, resp)
+    got = jax.jit(suff_stats)(xs, rs)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_ilr_sharded_vi(data):
+    rng = np.random.default_rng(0)
+    n = 2048
+    x = jnp.asarray(rng.uniform(-6, 6, (n, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x)) + 0.1 * rng.standard_normal((n, 1)))
+    m = BayesianILR.make(size=10, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float64)
+    ref_state, ref_vlb = m.fit_vi((x, y), key=1, maxiter=30)
+
+    m2 = BayesianILR.make(size=10, input_dim=1, output_dim=1, alpha=2.0,
+                          kappa=0.05, dtype=jnp.float64)
+    sh_state, sh_vlb = data_parallel_fit(m2, 'fit_vi', (x, y), key=1,
+                                         maxiter=30)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=1e-7)
