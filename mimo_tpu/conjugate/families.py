@@ -45,6 +45,10 @@ class Family(NamedTuple):
     mean_params: Callable[[Any], Any]
     log_predictive: Callable[[Any, Any], jax.Array] # (posterior, data) -> (N, K), Student-t
     log_predictive_gaussian: Callable[[Any, Any], jax.Array]
+    # Optional override for families whose Gibbs step is not plain
+    # update+sample (hierarchical inner-Gibbs chains, bayesian.py:623-659):
+    # (key, prior, stats) -> (posterior, params)
+    gibbs_update: Any = None
 
 
 def gaussian_family() -> Family:
@@ -172,6 +176,31 @@ def product_family(families, data_slices) -> Family:
         log_predictive_gaussian=lambda post, data: sum(
             f.log_predictive_gaussian(q, pick(data, sl))
             for f, q, sl in zip(families, post, data_slices)),
+    )
+
+
+def hier_gaussian_family(nb_iter: int = 25, gibbs_iter: int = 5) -> Family:
+    """Hierarchically-tied Gaussians: shared NW hyper-prior over component
+    means + tied precision (bayesian.py:503-793). Inner coordinate-ascent /
+    Gibbs chains run `nb_iter` / `gibbs_iter` sub-iterations inside the
+    update (the reference's maxsubiter)."""
+    from mimo_tpu.distributions import hierarchical as _h
+    return Family(
+        suff_stats=lambda data, resp: _niw.suff_stats(data[0], resp),
+        update=lambda prior, stats: _h.posterior_update(prior, stats, nb_iter),
+        svi_blend=lambda post, prior, stats, scale, step: _h.svi_blend(
+            post, prior, stats, scale, step, nb_iter=1),
+        ell=lambda post, data: _h.expected_log_likelihood(post, data[0]),
+        loglik=lambda params, data: _niw.log_likelihood(params, data[0]),
+        kl=_h.kl_divergence,
+        sample_params=_h.sample_params,
+        mode_params=_h.mode_params,
+        mean_params=_h.mean_params,
+        log_predictive=lambda post, data: _h.log_predictive_studentt(post, data[0]),
+        log_predictive_gaussian=lambda post, data: _h.log_predictive_gaussian(
+            post, data[0]),
+        gibbs_update=lambda key, prior, stats: _h.gibbs_update(
+            key, prior, stats, gibbs_iter),
     )
 
 

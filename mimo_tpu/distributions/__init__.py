@@ -6,3 +6,4 @@ from mimo_tpu.distributions.ng import NG, DiagGaussStats
 from mimo_tpu.distributions.mnw import MNW, LinGaussStats
 from mimo_tpu.distributions.mng import MNG
 from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
+from mimo_tpu.distributions.hierarchical import HierTied

@@ -3,3 +3,4 @@ from mimo_tpu.models.mixture import (
 )
 from mimo_tpu.models.gmm import GMM, BayesianGMM
 from mimo_tpu.models.ilr import BayesianILR
+from mimo_tpu.models.hmix import BayesianMixtureOfMixtures

@@ -13,9 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from mimo_tpu.conjugate.families import (
-    gaussian_family, diag_gaussian_family, tied_family,
+    gaussian_family, diag_gaussian_family, tied_family, hier_gaussian_family,
 )
 from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
+from mimo_tpu.distributions.hierarchical import HierTied
 from mimo_tpu.distributions.niw import NIW, GaussParams
 from mimo_tpu.distributions.ng import NG
 from mimo_tpu.models.mixture import BayesianMixture, EMState
@@ -33,35 +34,46 @@ class BayesianGMM(BayesianMixture):
       tied: share the covariance scale across components (tgmm/tdgmm).
     """
 
-    def __init__(self, gating_prior, components_prior, tied=False):
+    def __init__(self, gating_prior, components_prior, tied=False,
+                 maxsubiter=25):
         if isinstance(components_prior, NIW):
             family = gaussian_family()
         elif isinstance(components_prior, NG):
             family = diag_gaussian_family()
+        elif isinstance(components_prior, HierTied):
+            family = hier_gaussian_family(nb_iter=maxsubiter,
+                                          gibbs_iter=max(1, maxsubiter // 5))
+            if tied:
+                raise ValueError('HierTied is already precision-tied')
         else:
             raise TypeError(f'unsupported component prior: {type(components_prior)}')
-        if tied:
+        if tied and not isinstance(components_prior, HierTied):
             family = tied_family(family)
         self.tied = tied
         super().__init__(gating_prior, components_prior, family)
 
     @staticmethod
     def make(size, dim, gating='dirichlet', alpha=1.0, diag=False, tied=False,
-             mean=None, kappa=1e-2, psi_scale=1.0, nu=None, dtype=jnp.float32):
+             hierarchical=False, mean=None, kappa=1e-2, psi_scale=1.0,
+             nu=None, maxsubiter=25, dtype=jnp.float32):
         """Convenience constructor mirroring the reference examples' inline
-        prior construction (e.g. examples/dgmm/gibbs_dgmm.py:40-55)."""
+        prior construction (e.g. examples/dgmm/gibbs_dgmm.py:40-55;
+        hierarchical: examples/hgauss, examples/hgmm)."""
         if gating == 'dirichlet':
             g = Dirichlet.standard(size, alpha, dtype)
         elif gating in ('stick-breaking', 'dp'):
             g = StickBreaking.standard(size, alpha, dtype)
         else:
             raise ValueError(gating)
-        if diag:
+        if hierarchical:
+            c = HierTied.standard(size, dim, kappa=1.0, hyper_kappa=kappa,
+                                  psi_scale=psi_scale, nu=nu, dtype=dtype)
+        elif diag:
             c = NG.standard(size, dim, mean=mean, kappa=kappa, dtype=dtype)
         else:
             c = NIW.standard(size, dim, mean=mean, kappa=kappa,
                              psi_scale=psi_scale, nu=nu, dtype=dtype)
-        return BayesianGMM(g, c, tied=tied)
+        return BayesianGMM(g, c, tied=tied, maxsubiter=maxsubiter)
 
     # sampling synthetic data from the prior predictive of given params
     @staticmethod

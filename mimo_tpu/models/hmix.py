@@ -1,0 +1,314 @@
+"""Two-level nested mixtures: an outer mixture over M clusters, each
+cluster holding its own inner mixture of K components.
+
+TPU-native re-design of BayesianMixtureOfMixtureOfGaussians (hgmm.py:298-)
+and BayesianMixtureOfMixtureOfLinearGaussians (hilr.py:293-). Key design
+changes vs the reference:
+
+  * The M inner models are a **vmapped batch axis**, not a Python list —
+    every inner update runs for all clusters at once.
+  * Hard assignment (`obs[labels == m]`, hgmm.py:355-361 — dynamic shapes)
+    becomes **weighted (masked) updates**: outer responsibilities/one-hot
+    labels scale each point's statistics in every inner model. This is
+    exact for the conjugate updates (statistics are linear in the weights)
+    and keeps all shapes static for XLA.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from mimo_tpu.conjugate.families import Family
+from mimo_tpu.utils.data import one_hot
+from mimo_tpu.utils.stats import (
+    entropy_categorical, normalize_log, sample_categorical_from_log,
+)
+
+
+class HMixState(NamedTuple):
+    """Mean-field state of the nested mixture."""
+    outer_gating: Any   # Dirichlet | StickBreaking posterior over M
+    inner_gating: Any   # M-stacked gating posterior over K
+    components: Any     # M-stacked family posterior (M, K, ...)
+
+
+class HMixGibbsState(NamedTuple):
+    outer_gating: Any
+    inner_gating: Any
+    components: Any
+    labels: jax.Array       # (N,) outer cluster labels
+
+
+class BayesianMixtureOfMixtures:
+    """Outer gating over M clusters; each cluster an inner conjugate
+    mixture over K components (same family across clusters)."""
+
+    def __init__(self, outer_gating_prior, inner_gating_prior,
+                 components_prior, family: Family):
+        """inner_gating_prior and components_prior carry a leading M axis."""
+        self.outer_gating_prior = outer_gating_prior
+        self.inner_gating_prior = inner_gating_prior
+        self.components_prior = components_prior
+        self.family = family
+        self.cluster_size = outer_gating_prior.dim
+        self.mixture_size = jax.tree.leaves(inner_gating_prior)[0].shape[-1]
+        self._cache = {}
+
+    @staticmethod
+    def make_gmm(cluster_size, mixture_size, dim, alpha=1.0,
+                 inner_alpha=1.0, hierarchical=True, kappa=1e-2,
+                 psi_scale=1.0, maxsubiter=5, means=None,
+                 dtype=jnp.float32):
+        """Mixture of (hierarchical) GMMs (examples/hgmm). Inner priors are
+        replicated across the M clusters; optional `means` (M, dim) gives
+        each cluster's hyper-prior its own center (the reference examples
+        build informative per-cluster priors inline the same way)."""
+        from mimo_tpu.conjugate.families import (
+            gaussian_family, hier_gaussian_family)
+        from mimo_tpu.distributions.gating import Dirichlet
+        from mimo_tpu.distributions.hierarchical import HierTied
+        from mimo_tpu.distributions.niw import NIW
+
+        outer = Dirichlet.standard(cluster_size, alpha, dtype)
+        inner_g = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (cluster_size,) + a.shape),
+            Dirichlet.standard(mixture_size, inner_alpha, dtype))
+        if hierarchical:
+            comp = HierTied.standard(mixture_size, dim, kappa=1.0,
+                                     hyper_kappa=kappa, psi_scale=psi_scale,
+                                     dtype=dtype)
+            fam = hier_gaussian_family(nb_iter=maxsubiter,
+                                       gibbs_iter=max(1, maxsubiter // 2))
+        else:
+            comp = NIW.standard(mixture_size, dim, kappa=kappa,
+                                psi_scale=psi_scale, dtype=dtype)
+            fam = gaussian_family()
+        comp_m = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (cluster_size,) + a.shape), comp)
+        if means is not None:
+            means = jnp.asarray(means, dtype)             # (M, dim)
+            if hierarchical:
+                comp_m = comp_m._replace(
+                    hyper=comp_m.hyper._replace(
+                        mu=means[:, None, :]),
+                    mus=jnp.broadcast_to(means[:, None, :],
+                                         (cluster_size, mixture_size, dim)))
+            else:
+                comp_m = comp_m._replace(
+                    mu=jnp.broadcast_to(means[:, None, :],
+                                        (cluster_size, mixture_size, dim)))
+        return BayesianMixtureOfMixtures(outer, inner_g, comp_m, fam)
+
+    @staticmethod
+    def make_ilr(cluster_size, mixture_size, input_dim, output_dim,
+                 alpha=1.0, inner_alpha=1.0, affine=True, kappa=1e-2,
+                 K_scale=1e-2, psi_scale=1.0, dtype=jnp.float32):
+        """Mixture of mixtures of linear experts (examples/hilr)."""
+        from mimo_tpu.conjugate.families import ilr_family
+        from mimo_tpu.distributions.gating import Dirichlet
+        from mimo_tpu.distributions.niw import NIW
+        from mimo_tpu.distributions.mnw import MNW
+
+        outer = Dirichlet.standard(cluster_size, alpha, dtype)
+        inner_g = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (cluster_size,) + a.shape),
+            Dirichlet.standard(mixture_size, inner_alpha, dtype))
+        q = input_dim + (1 if affine else 0)
+        comp = (NIW.standard(mixture_size, input_dim, kappa=kappa,
+                             psi_scale=psi_scale, dtype=dtype),
+                MNW.standard(mixture_size, output_dim, q, K_scale=K_scale,
+                             psi_scale=psi_scale, dtype=dtype))
+        comp_m = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (cluster_size,) + a.shape), comp)
+        return BayesianMixtureOfMixtures(outer, inner_g, comp_m,
+                                         ilr_family(affine=affine))
+
+    # -- expectations -------------------------------------------------------
+
+    def _inner_elc(self, state: HMixState, data):
+        """(M, N, K): per-cluster inner expected log complete likelihood."""
+        def per_cluster(comp, gating):
+            return self.family.ell(comp, data) + gating.expected_log_pi()[None, :]
+        return jax.vmap(per_cluster)(state.components, state.inner_gating)
+
+    def expected_cluster_loglik(self, state: HMixState, data):
+        """(N, M): marginal inner loglik per cluster (hgmm.py:363-366)."""
+        elc = self._inner_elc(state, data)            # (M, N, K)
+        return logsumexp(elc, axis=-1).T              # (N, M)
+
+    def expected_responsibilities(self, state: HMixState, data):
+        """Outer responsibilities (N, M)."""
+        log_p = (self.expected_cluster_loglik(state, data)
+                 + state.outer_gating.expected_log_pi()[None, :])
+        resp, _ = normalize_log(log_p)
+        return resp
+
+    # -- updates ------------------------------------------------------------
+
+    def _inner_update(self, data, inner_resp, outer_resp):
+        """Weighted inner m-step for all clusters at once.
+
+        inner_resp: (M, N, K) within-cluster responsibilities;
+        outer_resp: (N, M) cluster weights scaling each point's stats."""
+        weighted = inner_resp * outer_resp.T[:, :, None]    # (M, N, K)
+
+        def per_cluster(prior_c, prior_g, w):
+            stats = self.family.suff_stats(data, w)
+            counts = jnp.sum(w, axis=0)
+            return self.family.update(prior_c, stats), prior_g.update(counts)
+
+        comps, gatings = jax.vmap(per_cluster, in_axes=(0, 0, 0))(
+            self.components_prior, self.inner_gating_prior, weighted)
+        return comps, gatings
+
+    def _vi_sweep(self, state: HMixState, data, maxsubiter):
+        outer_resp = self.expected_responsibilities(state, data)
+
+        def sub(j, st):
+            elc = self._inner_elc(st, data)                  # (M, N, K)
+            inner_resp = jax.nn.softmax(elc, axis=-1)
+            comps, gatings = self._inner_update(data, inner_resp, outer_resp)
+            return HMixState(outer_gating=st.outer_gating,
+                             inner_gating=gatings, components=comps)
+
+        state = jax.lax.fori_loop(0, maxsubiter, sub, state)
+        outer_gating = self.outer_gating_prior.update(
+            jnp.sum(outer_resp, axis=0))
+        return state._replace(outer_gating=outer_gating)
+
+    def fit_vi(self, data, key=None, maxiter=100, maxsubiter=3,
+               randomize=True):
+        """Nested mean-field coordinate ascent (hgmm.py:382-431)."""
+        data = data if isinstance(data, tuple) else (data,)
+        key = _as_key(key)
+        fn = self._jit('vi', maxiter=maxiter, maxsubiter=maxsubiter,
+                       randomize=randomize)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            m = self.cluster_size
+            r = jax.random.uniform(key, (n, m), dtype=data[0].dtype,
+                                   minval=1e-3, maxval=1.0)
+            outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
+            # bootstrap: random inner resp, one weighted update
+            k2 = jax.random.fold_in(key, 1)
+            ir = jax.random.uniform(
+                k2, (m, n, self.mixture_size), dtype=data[0].dtype,
+                minval=1e-3, maxval=1.0)
+            inner_resp = ir / jnp.sum(ir, axis=-1, keepdims=True)
+            comps, gatings = self._inner_update(data, inner_resp, outer_resp)
+            state = HMixState(
+                outer_gating=self.outer_gating_prior.update(
+                    jnp.sum(outer_resp, axis=0)),
+                inner_gating=gatings, components=comps)
+
+            def step(st, _):
+                st = self._vi_sweep(st, data, maxsubiter)
+                ll = jnp.sum(logsumexp(
+                    self.expected_cluster_loglik(st, data)
+                    + st.outer_gating.expected_log_pi()[None, :], axis=-1))
+                return st, ll
+
+            state, trace = jax.lax.scan(step, state, None, length=maxiter)
+            return state, trace
+
+        return fn(run, data, key)
+
+    # -- Gibbs (hgmm.py:326-361, masked instead of hard-sliced) -------------
+
+    def _gibbs_sweep(self, state: HMixGibbsState, data, key, maxsubiter):
+        n = data[0].shape[0]
+        outer_w = one_hot(state.labels, self.cluster_size,
+                          dtype=data[0].dtype)                 # (N, M)
+        k_in, k_out, k_gate = jax.random.split(key, 3)
+
+        # inner Gibbs chains, all clusters at once
+        def sub(carry, k_j):
+            comps, gatings = carry
+
+            def per_cluster(prior_c, prior_g, comp, gating, w, kk):
+                k_lab, k_par, k_pi = jax.random.split(kk, 3)
+                params = self.family.sample_params(k_par, comp)
+                probs = gating.sample(k_pi)
+                logp = (self.family.loglik(params, data)
+                        + jnp.log(jnp.clip(probs, 1e-37, None))[None, :])
+                z = sample_categorical_from_log(k_lab, logp, axis=-1)
+                wk = one_hot(z, self.mixture_size,
+                             dtype=data[0].dtype) * w[:, None]
+                stats = self.family.suff_stats(data, wk)
+                counts = jnp.sum(wk, axis=0)
+                return (self.family.update(prior_c, stats),
+                        prior_g.update(counts), logp)
+
+            ks = jax.random.split(k_j, self.cluster_size)
+            comps, gatings, logp_m = jax.vmap(per_cluster)(
+                self.components_prior, self.inner_gating_prior,
+                comps, gatings, outer_w.T, ks)
+            return (comps, gatings), logp_m
+
+        (comps, gatings), logp_all = jax.lax.scan(
+            sub, (state.components, state.inner_gating),
+            jax.random.split(k_in, maxsubiter))
+
+        # outer labels from marginal loglik under the inner posteriors
+        logp_m = logp_all[-1]                                  # (M, N, K)
+        marg = logsumexp(logp_m, axis=-1).T                    # (N, M)
+        outer_gating = self.outer_gating_prior.update(
+            jnp.sum(outer_w, axis=0))
+        pi = outer_gating.sample(k_gate)
+        log_p_outer = marg + jnp.log(jnp.clip(pi, 1e-37, None))[None, :]
+        labels = sample_categorical_from_log(k_out, log_p_outer, axis=-1)
+        return HMixGibbsState(outer_gating=outer_gating,
+                              inner_gating=gatings, components=comps,
+                              labels=labels)
+
+    def fit_gibbs(self, data, key=None, maxiter=100, maxsubiter=2,
+                  init_labels='prior'):
+        data = data if isinstance(data, tuple) else (data,)
+        key = _as_key(key)
+        fn = self._jit('gibbs', maxiter=maxiter, maxsubiter=maxsubiter,
+                       init_labels=init_labels)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            k_init, k_loop = jax.random.split(key)
+            labels = jax.random.randint(k_init, (n,), 0, self.cluster_size)
+            state = HMixGibbsState(
+                outer_gating=self.outer_gating_prior,
+                inner_gating=self.inner_gating_prior,
+                components=self.components_prior,
+                labels=labels)
+
+            def step(st, k):
+                return self._gibbs_sweep(st, data, k, maxsubiter), None
+
+            state, _ = jax.lax.scan(step, state,
+                                    jax.random.split(k_loop, maxiter))
+            return state
+
+        return fn(run, data, key)
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _jit(self, name, **statics):
+        key = (name, tuple(sorted(statics.items())))
+        if key not in self._cache:
+            dispatcher = {}
+
+            def wrapper(run, *args):
+                if 'fn' not in dispatcher:
+                    dispatcher['fn'] = jax.jit(run)
+                return dispatcher['fn'](*args)
+
+            self._cache[key] = wrapper
+        return self._cache[key]
+
+
+def _as_key(key):
+    if key is None:
+        return jax.random.PRNGKey(0)
+    if isinstance(key, int):
+        return jax.random.PRNGKey(key)
+    return key

@@ -91,7 +91,12 @@ class BayesianMixture:
         """log p(x, z=k) under plug-in params (gmm.py:67-70)."""
         return self.family.loglik(params, data) + log_pi[None, :]
 
-    def _mf_update(self, data, resp) -> MFState:
+    def _mf_update(self, data, resp, point_weights=None) -> MFState:
+        """Update from responsibilities; optional per-point weights scale the
+        statistics (external cluster weights in nested mixtures, hgmm.py:202,
+        or zero-weight padding for static shapes)."""
+        if point_weights is not None:
+            resp = resp * point_weights[:, None]
         stats = self.family.suff_stats(data, resp)
         counts = jnp.sum(resp, axis=0)
         return MFState(
@@ -111,42 +116,45 @@ class BayesianMixture:
 
     # -- mean-field VI (gmm.py:261-297) -----------------------------------
 
-    def _vi_sweep(self, state_resp, data):
+    def _vi_sweep(self, state_resp, data, point_weights=None):
         _, resp = state_resp
-        state = self._mf_update(data, resp)
+        state = self._mf_update(data, resp, point_weights)
         resp = self.expected_responsibilities(state, data)
         vlb = self.elbo(state, data, resp)
         return (state, resp), vlb
 
     def fit_vi(self, data, key=None, maxiter=250, init_state=None,
-               randomize=True):
+               randomize=True, point_weights=None):
         """Mean-field coordinate ascent. Returns (MFState, vlb_trace).
 
         `randomize=True` starts from random responsibilities (gmm.py:266-268);
         pass `init_state` (e.g. from Gibbs) with randomize=False to warm-start.
+        `point_weights` (N,) scales each point's statistics (nested-mixture
+        cluster weights, hgmm.py:202, or zero-weight padding).
         """
         data = _as_tuple(data)
         key = _as_key(key)
         fn = self._jitted('vi', maxiter=maxiter, randomize=randomize,
-                          warm=init_state is not None)
+                          warm=init_state is not None,
+                          weighted=point_weights is not None)
 
-        def run(data, key, init_state):
+        def run(data, key, init_state, point_weights):
             n = data[0].shape[0]
             if randomize or init_state is None:
                 resp = _random_resp(key, n, self.size, data[0].dtype)
             else:
                 resp = self.expected_responsibilities(init_state, data)
-            state = self._mf_update(data, resp)
+            state = self._mf_update(data, resp, point_weights)
 
             def step(carry, _):
-                return self._vi_sweep(carry, data)
+                return self._vi_sweep(carry, data, point_weights)
 
             (state, resp), vlb = jax.lax.scan(
                 step, (state, self.expected_responsibilities(state, data)),
                 None, length=maxiter)
             return state, vlb
 
-        return fn(run, data, key, init_state)
+        return fn(run, data, key, init_state, point_weights)
 
     # -- stochastic VI (gmm.py:300-336) ------------------------------------
 
@@ -203,16 +211,22 @@ class BayesianMixture:
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
 
-    def _gibbs_sweep(self, state: GibbsState, data, key):
+    def _gibbs_sweep(self, state: GibbsState, data, key, point_weights=None):
         """components | labels -> gating | labels -> labels | params."""
         resp = one_hot(state.labels, self.size, dtype=data[0].dtype)
+        if point_weights is not None:
+            resp = resp * point_weights[:, None]
         stats = self.family.suff_stats(data, resp)
         counts = jnp.sum(resp, axis=0)
-        comp_post = self.family.update(self.components_prior, stats)
-        gating_post = self.gating_prior.update(counts)
-
         k_comp, k_gate, k_lab = jax.random.split(key, 3)
-        params = self.family.sample_params(k_comp, comp_post)
+        gibbs_update = getattr(self.family, 'gibbs_update', None)
+        if gibbs_update is not None:
+            comp_post, params = gibbs_update(k_comp, self.components_prior,
+                                             stats)
+        else:
+            comp_post = self.family.update(self.components_prior, stats)
+            params = self.family.sample_params(k_comp, comp_post)
+        gating_post = self.gating_prior.update(counts)
         probs = gating_post.sample(k_gate)
         log_pi = jnp.log(jnp.clip(probs, 1e-37, None))  # bayesian.py:75 clip
 
@@ -221,13 +235,15 @@ class BayesianMixture:
         return GibbsState(components=comp_post, gating=gating_post,
                           params=params, log_pi=log_pi, labels=labels)
 
-    def fit_gibbs(self, data, key=None, maxiter=100, init_labels='prior'):
+    def fit_gibbs(self, data, key=None, maxiter=100, init_labels='prior',
+                  point_weights=None):
         """Blocked Gibbs sampling. Returns the final GibbsState."""
         data = _as_tuple(data)
         key = _as_key(key)
-        fn = self._jitted('gibbs', maxiter=maxiter, init_labels=init_labels)
+        fn = self._jitted('gibbs', maxiter=maxiter, init_labels=init_labels,
+                          weighted=point_weights is not None)
 
-        def run(data, key):
+        def run(data, key, point_weights):
             n = data[0].shape[0]
             k_init, k_loop = jax.random.split(key)
             if init_labels == 'random':
@@ -247,13 +263,13 @@ class BayesianMixture:
                 labels=labels)
 
             def step(state, k):
-                return self._gibbs_sweep(state, data, k), None
+                return self._gibbs_sweep(state, data, k, point_weights), None
 
             keys = jax.random.split(k_loop, maxiter)
             state, _ = jax.lax.scan(step, state, keys)
             return state
 
-        return fn(run, data, key)
+        return fn(run, data, key, point_weights)
 
     # -- MAP EM (gmm.py:176-204) --------------------------------------------
 

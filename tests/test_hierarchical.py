@@ -1,0 +1,125 @@
+"""Tests for the hierarchically-tied Gaussian family and the two-level
+mixture-of-mixtures models (reference: bayesian.py:503-793, hgmm.py,
+hilr.py). Parity of the update equations lives in test_reference_parity."""
+
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimo_tpu.models.gmm import BayesianGMM
+from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+from mimo_tpu.models.mixture import MFState
+from mimo_tpu.distributions.niw import GaussParams
+
+TRUE_MU = np.array([[-4., 0.], [4., 0.], [0., 5.]])
+
+
+@pytest.fixture(scope='module')
+def data():
+    key = jax.random.PRNGKey(7)
+    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(key, GaussParams(jnp.asarray(TRUE_MU), lm),
+                                jnp.asarray([.3, .4, .3]), 3000)
+    return x.astype(jnp.float64)
+
+
+def test_hier_gibbs_recovers(data):
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         hierarchical=True, kappa=0.05, psi_scale=0.5,
+                         dtype=jnp.float64)
+    gs = m.fit_gibbs(data, key=2, maxiter=100)
+    counts = np.bincount(np.asarray(gs.labels), minlength=8)
+    est = np.asarray(gs.components.mus)[counts > 100]
+    for t in TRUE_MU:
+        assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.4
+
+
+def test_hier_vi_warm_monotone(data):
+    """VI warm-started from Gibbs: monotone ELBO + mean recovery
+    (the reference's hgauss/hgmm recipe is Gibbs-first)."""
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         hierarchical=True, kappa=0.05, psi_scale=0.5,
+                         dtype=jnp.float64)
+    gs = m.fit_gibbs(data, key=2, maxiter=50)
+    st, vlb = m.fit_vi(data, key=1, maxiter=100,
+                       init_state=MFState(gs.components, gs.gating),
+                       randomize=False)
+    d = np.diff(np.asarray(vlb))
+    assert np.all(d > -1e-6), f'hier VI not monotone: {d.min()}'
+    used = np.asarray(m.used_labels(st, (data,)))
+    est = np.asarray(st.components.mus)[used]
+    for t in TRUE_MU:
+        assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.4
+    # tied: every component shares the single hyper Wishart
+    assert st.components.hyper.psi.shape[0] == 1
+
+
+def test_hier_svi_runs(data):
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         hierarchical=True, kappa=0.05, psi_scale=0.5,
+                         dtype=jnp.float64)
+    gs = m.fit_gibbs(data, key=2, maxiter=30)
+    st, _ = m.fit_svi(data, key=3, maxiter=100, step_size=0.5,
+                      batch_size=512,
+                      init_state=MFState(gs.components, gs.gating))
+    assert np.isfinite(np.asarray(st.components.mus)).all()
+    assert np.isfinite(np.asarray(st.components.hyper.psi)).all()
+
+
+@pytest.fixture(scope='module')
+def nested_data():
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 500), blob([-5, -3], 500),
+                   blob([5, 5], 500), blob([5, 3], 500)])
+    return jnp.asarray(x[rng.permutation(2000)])
+
+
+def test_mixture_of_mixtures_vi_separates(nested_data):
+    """With informative per-cluster hyper means, VI assigns the two
+    super-clusters to distinct outer labels."""
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=5,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    st, tr = m.fit_vi(x, key=0, maxiter=50, maxsubiter=3)
+    assert np.isfinite(np.asarray(tr)).all()
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 900 and r_major[1] > 900
+
+
+def test_mixture_of_mixtures_gibbs_runs(nested_data):
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=5,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    gs = m.fit_gibbs(x, key=1, maxiter=40, maxsubiter=3)
+    counts = np.bincount(np.asarray(gs.labels), minlength=2)
+    assert counts.sum() == x.shape[0]
+    assert np.isfinite(np.asarray(
+        jax.tree.leaves(gs.components)[0])).all()
+
+
+def test_mixture_of_mixtures_ilr_builds(nested_data):
+    """Nested ILR (hilr.py:293-) constructs and runs one VI fit."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2, 2, (600, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x) * 3) + 0.1 * rng.standard_normal((600, 1)))
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=4, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    st, tr = m.fit_vi((x, y), key=0, maxiter=30, maxsubiter=2)
+    assert np.isfinite(np.asarray(tr)).all()

@@ -238,3 +238,93 @@ def test_dirichlet_parity(rng):
     np.testing.assert_allclose(ours.expected_log_pi(),
                                ref.expected_statistics(), rtol=1e-8)
     np.testing.assert_allclose(ours.mean(), ref.mean(), rtol=1e-10)
+
+
+def test_hierarchical_tied_meanfield_parity(rng):
+    """TiedGaussiansWithHierarchicalNormalWisharts.meanfield_update
+    (bayesian.py:662-689) vs our hierarchical posterior_update: same stats,
+    same inner-iteration count -> identical hyper-posterior and q(mu_k)."""
+    k, d, n = 4, 2, 200
+    x = rng.standard_normal((n, d)) * 2 + 0.5
+    resp = rng.uniform(0.01, 1.0, (n, k))
+
+    kappas = rng.uniform(0.5, 2.0, k)
+    m0 = rng.standard_normal(d)
+    kappa0 = 0.3
+    a = rng.standard_normal((d, d))
+    psi0 = a @ a.T + 2 * np.eye(d)
+    nu0 = d + 3.0
+
+    from mimo.distributions import (NormalWishart,
+                                    TiedGaussiansWithScaledPrecision)
+    from mimo.distributions.bayesian import (
+        TiedGaussiansWithHierarchicalNormalWisharts)
+    hyper = NormalWishart(dim=d, mu=m0.copy(), kappa=kappa0,
+                          psi=psi0.copy(), nu=nu0)
+    prior = TiedGaussiansWithScaledPrecision(size=k, dim=d,
+                                             kappas=kappas.copy())
+    pair = TiedGaussiansWithHierarchicalNormalWisharts(
+        size=k, dim=d, hyper_prior=hyper, prior=prior)
+    pair.meanfield_update(x, resp.T, nb_iter=7)
+    ref_rho, ref_kappa, ref_psi, ref_nu = pair.hyper_posterior.params
+    ref_mus = pair.posterior.mus
+
+    from mimo_tpu.distributions import hierarchical as jh
+    from mimo_tpu.distributions import niw as jniw2
+    hp = jh.HierTied(
+        hyper=jniw2.NIW(mu=jnp.asarray(m0)[None],
+                        kappa=jnp.asarray([kappa0]),
+                        psi=jnp.asarray(psi0)[None],
+                        nu=jnp.asarray([nu0])),
+        mus=jnp.zeros((k, d)),
+        kappas=jnp.asarray(kappas), kappas0=jnp.asarray(kappas))
+    stats = jniw2.suff_stats(jnp.asarray(x), jnp.asarray(resp))
+    post = jh.posterior_update(hp, stats, nb_iter=7)
+
+    np.testing.assert_allclose(post.hyper.mu[0], ref_rho, rtol=1e-8)
+    np.testing.assert_allclose(post.hyper.kappa[0], ref_kappa, rtol=1e-10)
+    np.testing.assert_allclose(post.hyper.psi[0], ref_psi, rtol=1e-6)
+    np.testing.assert_allclose(post.hyper.nu[0], ref_nu, rtol=1e-10)
+    np.testing.assert_allclose(post.mus, ref_mus, rtol=1e-7)
+
+
+def test_hierarchical_ell_parity(rng):
+    """expected_log_likelihood (bayesian.py:731-749) parity after one VI
+    update (posterior lmbdas = hyper wishart mean, as the reference sets)."""
+    k, d, n = 3, 2, 60
+    x = rng.standard_normal((n, d))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    kappas = rng.uniform(0.5, 2.0, k)
+    m0 = rng.standard_normal(d)
+    kappa0, nu0 = 0.4, d + 3.0
+    a = rng.standard_normal((d, d))
+    psi0 = a @ a.T + 2 * np.eye(d)
+
+    from mimo.distributions import (NormalWishart,
+                                    TiedGaussiansWithScaledPrecision)
+    from mimo.distributions.bayesian import (
+        TiedGaussiansWithHierarchicalNormalWisharts)
+    pair = TiedGaussiansWithHierarchicalNormalWisharts(
+        size=k, dim=d,
+        hyper_prior=NormalWishart(dim=d, mu=m0.copy(), kappa=kappa0,
+                                  psi=psi0.copy(), nu=nu0),
+        prior=TiedGaussiansWithScaledPrecision(size=k, dim=d,
+                                               kappas=kappas.copy()))
+    pair.meanfield_update(x, resp.T, nb_iter=4)
+    # reference's posterior lmbdas must reflect the hyper mean for its ELL
+    pair.posterior.lmbdas = np.stack(k * [pair.hyper_posterior.wishart.mean()])
+    ref_ell = pair.expected_log_likelihood(x)         # (K, N)
+
+    from mimo_tpu.distributions import hierarchical as jh
+    from mimo_tpu.distributions import niw as jniw2
+    hp = jh.HierTied(
+        hyper=jniw2.NIW(mu=jnp.asarray(m0)[None],
+                        kappa=jnp.asarray([kappa0]),
+                        psi=jnp.asarray(psi0)[None],
+                        nu=jnp.asarray([nu0])),
+        mus=jnp.zeros((k, d)),
+        kappas=jnp.asarray(kappas), kappas0=jnp.asarray(kappas))
+    stats = jniw2.suff_stats(jnp.asarray(x), jnp.asarray(resp))
+    post = jh.posterior_update(hp, stats, nb_iter=4)
+    ours = jh.expected_log_likelihood(post, jnp.asarray(x))
+    np.testing.assert_allclose(ours, ref_ell.T, rtol=1e-6, atol=1e-8)
