@@ -26,12 +26,12 @@ from mimo_tpu.distributions.niw import GaussParams
 
 # Frozen CPU baseline, measured 2026-08-17 with scripts/measure_reference.py
 # on this machine (reference @ /root/reference, NumPy/OpenBLAS):
-#   N=1e4: VI 9.692 iters/s | N=1e5: VI 0.296 iters/s (superlinear falloff:
-#   the fold=False N x d x d expected-stats path, gaussian.py:474-485).
-# N=1e6 extrapolates to ~0.03 iters/s; we use the measured 1e5 rate scaled
-# by 10x as a CONSERVATIVE (favorable-to-reference) linear extrapolation
-# unless scripts/measure_reference.py has produced a 1e6 number.
-REFERENCE_VI_ITERS_PER_S_1E6 = 0.0296
+#   N=1e4: VI 9.692 iters/s, Gibbs 35.229 sweeps/s
+#   N=1e5: VI 0.296 iters/s, Gibbs  2.133 sweeps/s
+#   N=1e6: VI 0.011 iters/s, Gibbs  0.022 sweeps/s
+# (superlinear falloff: the fold=False N x d x d expected-stats path,
+# gaussian.py:474-485, plus the K x N x d x d einsums going out of cache.)
+REFERENCE_VI_ITERS_PER_S_1E6 = 0.011
 
 N, K, D = 1_000_000, 50, 2
 ITERS = 100

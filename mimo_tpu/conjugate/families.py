@@ -146,7 +146,26 @@ def product_family(families, data_slices) -> Family:
         return jax.random.split(key, n)
 
     nf = len(families)
+
+    def _member_gibbs(f: Family):
+        if f.gibbs_update is not None:
+            return f.gibbs_update
+        return lambda key, prior, stats: (
+            lambda post: (post, f.sample_params(key, post))
+        )(f.update(prior, stats))
+
+    if any(f.gibbs_update is not None for f in families):
+        def product_gibbs(key, prior, stats):
+            outs = tuple(
+                _member_gibbs(f)(k, p, s)
+                for f, k, p, s in zip(families, split_keys(key, nf),
+                                      prior, stats))
+            return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
+    else:
+        product_gibbs = None
+
     return Family(
+        gibbs_update=product_gibbs,
         suff_stats=lambda data, resp: tuple(
             f.suff_stats(pick(data, sl), resp)
             for f, sl in zip(families, data_slices)),
@@ -204,11 +223,53 @@ def hier_gaussian_family(nb_iter: int = 25, gibbs_iter: int = 5) -> Family:
     )
 
 
-def ilr_family(affine: bool = True, diag: bool = False) -> Family:
-    """Mixture-of-linear-experts joint family: Gaussian basis on x (NIW)
-    x linear model of y|x (MNW or MNG). data = (x, y)."""
-    basis = gaussian_family()
-    model = diag_linear_family(affine) if diag else linear_family(affine)
+def tied_affine_family(nb_iter: int = 25, gibbs_iter: int = 25) -> Family:
+    """Tied-affine experts: shared slope + shared noise, per-component
+    offsets (bayesian.py:1137-1522). data = (x, y), x NOT augmented."""
+    from mimo_tpu.distributions import affine as _aff
+
+    def _raise(*a, **k):
+        raise NotImplementedError(
+            'meanfield_sgd is not implemented for tied-affine experts '
+            '(reference bayesian.py:1385-1386 raises as well)')
+
+    aug = lambda x: augment(x, True)
+    return Family(
+        suff_stats=lambda data, resp: _aff.suff_stats(data[0], data[1], resp),
+        update=lambda prior, stats: _aff.posterior_update(prior, stats, nb_iter),
+        svi_blend=_raise,
+        ell=lambda post, data: _aff.expected_log_likelihood(
+            post, aug(data[0]), data[1]),
+        loglik=lambda params, data: _aff.log_likelihood(
+            params, aug(data[0]), data[1]),
+        kl=_aff.kl_divergence,
+        sample_params=_aff.sample_params,
+        mode_params=_aff.mode_params,
+        mean_params=_aff.mean_params,
+        log_predictive=lambda post, data: _aff.log_predictive_studentt(
+            post, aug(data[0]), data[1]),
+        log_predictive_gaussian=lambda post, data: _aff.log_predictive_gaussian(
+            post, aug(data[0]), data[1]),
+        gibbs_update=lambda key, prior, stats: _aff.gibbs_update(
+            key, prior, stats, gibbs_iter),
+    )
+
+
+def ilr_family(affine: bool = True, diag: bool = False,
+               tied_affine: bool = False, hier_basis: bool = False,
+               maxsubiter: int = 25) -> Family:
+    """Mixture-of-linear-experts joint family: Gaussian basis on x (NIW or
+    hierarchically-tied) x linear model of y|x (MNW, MNG, or tied-affine).
+    data = (x, y). tied_affine + hier_basis reproduces the reference's
+    BayesianMixtureOfLinearGaussiansWithTiedActivation (hilr.py:79)."""
+    basis = hier_gaussian_family(nb_iter=maxsubiter) if hier_basis \
+        else gaussian_family()
+    if tied_affine:
+        model = tied_affine_family(nb_iter=maxsubiter, gibbs_iter=maxsubiter)
+    elif diag:
+        model = diag_linear_family(affine)
+    else:
+        model = linear_family(affine)
     return product_family((basis, model), ((0,), (0, 1)))
 
 

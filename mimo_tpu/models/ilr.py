@@ -20,9 +20,13 @@ from mimo_tpu.conjugate.families import (
     tied_family,
 )
 from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
+from mimo_tpu.distributions import affine as _aff
+from mimo_tpu.distributions import hierarchical as _hier
 from mimo_tpu.distributions import niw as _niw
 from mimo_tpu.distributions import mnw as _mnw
 from mimo_tpu.distributions import mng as _mng
+from mimo_tpu.distributions.affine import TiedAffine
+from mimo_tpu.distributions.hierarchical import HierTied
 from mimo_tpu.distributions.mnw import augment
 from mimo_tpu.distributions.niw import NIW
 from mimo_tpu.distributions.mnw import MNW
@@ -40,43 +44,66 @@ class BayesianILR(BayesianMixture):
     lingauss.py:107-108).
     """
 
-    def __init__(self, gating_prior, basis_prior: NIW, models_prior,
-                 affine=True):
+    def __init__(self, gating_prior, basis_prior, models_prior,
+                 affine=True, maxsubiter=25):
         if isinstance(models_prior, MNW):
-            diag = False
+            diag, tied_affine = False, False
         elif isinstance(models_prior, MNG):
-            diag = True
+            diag, tied_affine = True, False
+        elif isinstance(models_prior, TiedAffine):
+            diag, tied_affine = False, True
+            affine = True  # the offset IS the affine part
         else:
             raise TypeError(f'unsupported models prior: {type(models_prior)}')
+        hier_basis = isinstance(basis_prior, HierTied)
         self.affine = affine
         self.diag = diag
-        self.input_dim = basis_prior.mu.shape[-1]
+        self.tied_affine = tied_affine
+        self.hier_basis = hier_basis
+        self.input_dim = (basis_prior.mus if hier_basis
+                          else basis_prior.mu).shape[-1]
         self.output_dim = models_prior.M.shape[-2]
-        family = ilr_family(affine=affine, diag=diag)
+        family = ilr_family(affine=affine, diag=diag,
+                            tied_affine=tied_affine, hier_basis=hier_basis,
+                            maxsubiter=maxsubiter)
         super().__init__(gating_prior, (basis_prior, models_prior), family)
         self.input_transform: Optional[Standardizer] = None
         self.output_transform: Optional[Standardizer] = None
 
     @staticmethod
     def make(size, input_dim, output_dim, gating='stick-breaking', alpha=1.0,
-             affine=True, diag=False, kappa=1e-2, K_scale=1e-2,
-             psi_scale=1.0, basis_psi_scale=1.0, dtype=jnp.float32):
+             affine=True, diag=False, tied_affine=False, hier_basis=False,
+             kappa=1e-2, K_scale=1e-2, psi_scale=1.0, basis_psi_scale=1.0,
+             maxsubiter=25, dtype=jnp.float32):
         """Convenience constructor mirroring the reference examples' prior
-        construction (evaluate_sine.py:88-127)."""
+        construction (evaluate_sine.py:88-127; hilr tied-activation:
+        tied_affine=True, hier_basis=True)."""
         if gating == 'dirichlet':
             g = Dirichlet.standard(size, alpha, dtype)
         else:
             g = StickBreaking.standard(size, alpha, dtype)
-        basis = NIW.standard(size, input_dim, kappa=kappa,
-                             psi_scale=basis_psi_scale, dtype=dtype)
-        q = input_dim + (1 if affine else 0)
-        if diag:
-            models = MNG.standard(size, output_dim, q, K_scale=K_scale,
-                                  dtype=dtype)
+        if hier_basis:
+            basis = HierTied.standard(size, input_dim, kappa=1.0,
+                                      hyper_kappa=kappa,
+                                      psi_scale=basis_psi_scale, dtype=dtype)
         else:
-            models = MNW.standard(size, output_dim, q, K_scale=K_scale,
-                                  psi_scale=psi_scale, dtype=dtype)
-        return BayesianILR(g, basis, models, affine=affine)
+            basis = NIW.standard(size, input_dim, kappa=kappa,
+                                 psi_scale=basis_psi_scale, dtype=dtype)
+        if tied_affine:
+            models = TiedAffine.standard(size, output_dim, input_dim,
+                                         K_scale=K_scale, kappa=kappa,
+                                         psi_scale=psi_scale, dtype=dtype)
+        elif diag:
+            models = MNG.standard(size, output_dim,
+                                  input_dim + (1 if affine else 0),
+                                  K_scale=K_scale, dtype=dtype)
+        else:
+            models = MNW.standard(size, output_dim,
+                                  input_dim + (1 if affine else 0),
+                                  K_scale=K_scale, psi_scale=psi_scale,
+                                  dtype=dtype)
+        return BayesianILR(g, basis, models, affine=affine,
+                           maxsubiter=maxsubiter)
 
     # -- standardization (ilr.py:107-127) ----------------------------------
 
@@ -110,9 +137,10 @@ class BayesianILR(BayesianMixture):
         """Input-conditional expert weights (ilr.py:339-347):
         softmax_k [ log E[pi_k] + log basis-predictive_k(x) ] -> (N, K)."""
         basis_post, _ = state.components
-        log_basis = (_niw.log_predictive_studentt(basis_post, x)
+        mod = _hier if self.hier_basis else _niw
+        log_basis = (mod.log_predictive_studentt(basis_post, x)
                      if dist == 'studentt'
-                     else _niw.log_predictive_gaussian(basis_post, x))
+                     else mod.log_predictive_gaussian(basis_post, x))
         log_w = log_basis + self.predictive_log_weights(state)[None, :]
         weights, _ = normalize_log(log_w)
         return weights
@@ -122,6 +150,8 @@ class BayesianILR(BayesianMixture):
         (N, K, p, p) or diagonal (N, K, p) (ilr.py:349-357)."""
         _, models_post = state.components
         xa = augment(x, self.affine)
+        if self.tied_affine:
+            models_post = _aff.to_packed_mnw(models_post)
         if self.diag:
             fn = (_mng.predictive_moments_studentt if dist == 'studentt'
                   else _mng.predictive_moments_gaussian)
@@ -149,6 +179,8 @@ class BayesianILR(BayesianMixture):
         (ilr.py:359-362)."""
         _, models_post = state.components
         xa = augment(x, self.affine)
+        if self.tied_affine:
+            models_post = _aff.to_packed_mnw(models_post)
         if self.diag:
             fn = (_mng.log_predictive_studentt if dist == 'studentt'
                   else _mng.log_predictive_gaussian)

@@ -135,3 +135,41 @@ def test_multi_output(rng):
     mu, var, std, nlpd = m.predict(st, x, y)
     assert mu.shape == (n, 2) and var.shape == (n, 2)
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.15
+
+
+def test_tied_affine_experts(sine):
+    """Shared-slope experts with per-component offsets
+    (bayesian.py:1222-1522): piecewise-parallel fit of the sine."""
+    x, y = sine
+    x, y = x.astype(jnp.float64), y.astype(jnp.float64)
+    m = BayesianILR.make(size=25, input_dim=1, output_dim=1, alpha=5.0,
+                         kappa=0.05, tied_affine=True, maxsubiter=10,
+                         dtype=jnp.float64)
+    m.init_transform(x, y)
+    g = m.fit_gibbs((x, y), key=0, maxiter=30)
+    st, vlb = m.fit_vi((x, y), key=1, maxiter=100,
+                       init_state=MFState(g.components, g.gating),
+                       randomize=False)
+    assert np.isfinite(np.asarray(vlb)).all()
+    # slope is genuinely shared: single (p, q) matrix in the posterior
+    assert st.components[1].M.ndim == 2
+    mu, var, std, nlpd = m.predict(st, x, y)
+    assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.3
+
+
+def test_tied_affine_hier_basis(sine):
+    """The hilr tied-activation configuration (hilr.py:79): hierarchical
+    basis + tied-affine experts."""
+    x, y = sine
+    x, y = x.astype(jnp.float64), y.astype(jnp.float64)
+    m = BayesianILR.make(size=25, input_dim=1, output_dim=1, alpha=5.0,
+                         kappa=0.05, tied_affine=True, hier_basis=True,
+                         maxsubiter=10, dtype=jnp.float64)
+    m.init_transform(x, y)
+    g = m.fit_gibbs((x, y), key=0, maxiter=30)
+    st, vlb = m.fit_vi((x, y), key=1, maxiter=100,
+                       init_state=MFState(g.components, g.gating),
+                       randomize=False)
+    assert np.isfinite(np.asarray(vlb)).all()
+    mu, var, std, nlpd = m.predict(st, x, y)
+    assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.35

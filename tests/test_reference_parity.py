@@ -328,3 +328,97 @@ def test_hierarchical_ell_parity(rng):
     post = jh.posterior_update(hp, stats, nb_iter=4)
     ours = jh.expected_log_likelihood(post, jnp.asarray(x))
     np.testing.assert_allclose(ours, ref_ell.T, rtol=1e-6, atol=1e-8)
+
+
+def test_tied_affine_meanfield_parity(rng):
+    """TiedAffineLinearGaussiansWithMatrixNormalWisharts.meanfield_update
+    (bayesian.py:1321-1375) vs our tied-affine posterior_update."""
+    k, p, q, n = 3, 2, 2, 120
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, p))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+
+    M0 = rng.standard_normal((p, q))
+    a = rng.standard_normal((q, q))
+    K0 = a @ a.T + 2 * np.eye(q)
+    mus0 = rng.standard_normal((k, p))
+    kappas0 = rng.uniform(0.5, 2.0, k)
+    b = rng.standard_normal((p, p))
+    psi0 = b @ b.T + 2 * np.eye(p)
+    nu0 = p + 3.0
+
+    from mimo.distributions import (MatrixNormalWithPrecision, Wishart,
+                                    TiedGaussiansWithScaledPrecision)
+    from mimo.distributions.bayesian import (
+        TiedAffineLinearGaussiansWithMatrixNormalWisharts)
+    pair = TiedAffineLinearGaussiansWithMatrixNormalWisharts(
+        size=k, column_dim=q, row_dim=p,
+        slope_prior=MatrixNormalWithPrecision(column_dim=q, row_dim=p,
+                                              M=M0.copy(), K=K0.copy()),
+        offset_prior=TiedGaussiansWithScaledPrecision(
+            size=k, dim=p, kappas=kappas0.copy(), mus=mus0.copy()),
+        precision_prior=Wishart(dim=p, psi=psi0.copy(), nu=nu0))
+    pair.meanfield_update(x, y, resp.T, nb_iter=6)
+
+    from mimo_tpu.distributions import affine as jaff
+    prior = jaff.TiedAffine(M=jnp.asarray(M0), K_=jnp.asarray(K0),
+                            mus=jnp.asarray(mus0),
+                            kappas=jnp.asarray(kappas0),
+                            psi=jnp.asarray(psi0), nu=jnp.asarray(nu0))
+    stats = jaff.suff_stats(jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(resp))
+    post = jaff.posterior_update(prior, stats, nb_iter=6)
+
+    np.testing.assert_allclose(post.M, pair.slope_posterior.M, rtol=1e-7)
+    np.testing.assert_allclose(post.K_, pair.slope_posterior.K, rtol=1e-8)
+    np.testing.assert_allclose(post.psi, pair.precision_posterior.psi,
+                               rtol=1e-6)
+    np.testing.assert_allclose(post.nu, pair.precision_posterior.nu,
+                               rtol=1e-10)
+    np.testing.assert_allclose(post.mus, pair.offset_posterior.mus,
+                               rtol=1e-7)
+    np.testing.assert_allclose(post.kappas, pair.offset_posterior.kappas,
+                               rtol=1e-10)
+
+
+def test_tied_affine_ell_parity(rng):
+    """The packed-MNW ELL (bayesian.py:1388-1421) vs ours."""
+    k, p, q, n = 3, 2, 2, 40
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, p))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    M0 = rng.standard_normal((p, q))
+    a = rng.standard_normal((q, q))
+    K0 = a @ a.T + 2 * np.eye(q)
+    mus0 = rng.standard_normal((k, p))
+    kappas0 = rng.uniform(0.5, 2.0, k)
+    b = rng.standard_normal((p, p))
+    psi0 = b @ b.T + 2 * np.eye(p)
+    nu0 = p + 3.0
+
+    from mimo.distributions import (MatrixNormalWithPrecision, Wishart,
+                                    TiedGaussiansWithScaledPrecision)
+    from mimo.distributions.bayesian import (
+        TiedAffineLinearGaussiansWithMatrixNormalWisharts)
+    pair = TiedAffineLinearGaussiansWithMatrixNormalWisharts(
+        size=k, column_dim=q, row_dim=p,
+        slope_prior=MatrixNormalWithPrecision(column_dim=q, row_dim=p,
+                                              M=M0.copy(), K=K0.copy()),
+        offset_prior=TiedGaussiansWithScaledPrecision(
+            size=k, dim=p, kappas=kappas0.copy(), mus=mus0.copy()),
+        precision_prior=Wishart(dim=p, psi=psi0.copy(), nu=nu0))
+    pair.meanfield_update(x, y, resp.T, nb_iter=4)
+    ref_ell = pair.expected_log_likelihood(x, y)       # (K, N)
+
+    from mimo_tpu.distributions import affine as jaff
+    from mimo_tpu.distributions.mnw import augment
+    prior = jaff.TiedAffine(M=jnp.asarray(M0), K_=jnp.asarray(K0),
+                            mus=jnp.asarray(mus0),
+                            kappas=jnp.asarray(kappas0),
+                            psi=jnp.asarray(psi0), nu=jnp.asarray(nu0))
+    stats = jaff.suff_stats(jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(resp))
+    post = jaff.posterior_update(prior, stats, nb_iter=4)
+    ours = jaff.expected_log_likelihood(post, augment(jnp.asarray(x), True),
+                                        jnp.asarray(y))
+    np.testing.assert_allclose(ours, ref_ell.T, rtol=1e-6, atol=1e-8)
