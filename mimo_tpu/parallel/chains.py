@@ -1,0 +1,106 @@
+"""Chain/restart parallelism: many independent inference runs as one
+vmapped on-device program, optionally sharded over the mesh 'chain' axis.
+
+TPU-native replacement of the reference's only parallelism — a joblib/loky
+process pool over 24 independent restarts (evaluate_sinc_parallel.py:
+120-132) and the best-of-5 ELBO model selection loop
+(examples/gmm/sine/svi_gmm.py:57-67). Here:
+
+  * `fit_chains`   — vmap the whole fit over a batch of PRNG keys.
+  * `best_of`      — select the chain with the best final ELBO.
+  * `smc_gibbs`    — Gibbs chains interleaved with systematic resampling of
+                     chain states by data log-likelihood (an SMC-flavored
+                     sweep with no reference counterpart; SURVEY.md §2.6).
+
+To spread chains over devices, shard the key batch over the mesh's 'chain'
+axis — the vmapped program is embarrassingly parallel, so XLA partitions
+it without collectives (the resampling all-gather being the exception).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from mimo_tpu.models.mixture import MFState
+from mimo_tpu.utils.data import one_hot
+
+
+def fit_chains(model, fit_name, data, keys, **kw):
+    """Run `model.<fit_name>` once per key, vmapped. Returns stacked
+    results (leading chain axis)."""
+    data = data if isinstance(data, tuple) else (data,)
+
+    def one(key):
+        return getattr(model, fit_name)(data, key=key, **kw)
+
+    return jax.jit(jax.vmap(one))(keys)
+
+
+def best_of(states, vlb_traces):
+    """Select the chain with the highest final ELBO (svi_gmm.py:57-67)."""
+    best = jnp.argmax(vlb_traces[:, -1])
+    return jax.tree.map(lambda a: a[best], states), best
+
+
+def systematic_resample(key, log_w, tree):
+    """Systematic resampling of a chain-stacked pytree by log-weights."""
+    c = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    positions = (jax.random.uniform(key, ()) + jnp.arange(c)) / c
+    cum = jnp.cumsum(w)
+    idx = jnp.searchsorted(cum, positions)
+    idx = jnp.clip(idx, 0, c - 1)
+    return jax.tree.map(lambda a: a[idx], tree), idx
+
+
+def smc_gibbs(model, data, key, n_chains=8, n_rounds=10,
+              sweeps_per_round=10, ess_threshold=0.5):
+    """Population Gibbs with systematic chain resampling.
+
+    Each round runs `sweeps_per_round` blocked-Gibbs sweeps per chain
+    (vmapped), scores chains by complete-data log-likelihood under their
+    sampled parameters, and resamples chains when the effective sample
+    size drops below `ess_threshold * n_chains`. Returns the final stacked
+    GibbsStates and the per-round mean log-likelihoods.
+    """
+    data = data if isinstance(data, tuple) else (data,)
+    k_init, k_loop = jax.random.split(jax.random.PRNGKey(key)
+                                      if isinstance(key, int) else key)
+
+    def init_one(k):
+        return getattr(model, 'fit_gibbs')(data, key=k, maxiter=1)
+
+    states = jax.jit(jax.vmap(init_one))(jax.random.split(k_init, n_chains))
+
+    def chain_loglik(state):
+        logp = model.log_complete_likelihood(state.params, state.log_pi, data)
+        return jnp.sum(jax.scipy.special.logsumexp(logp, axis=-1))
+
+    @jax.jit
+    def one_round(states, k):
+        k_sweep, k_res = jax.random.split(k)
+
+        def run_chain(state, kk):
+            def step(s, sk):
+                return model._gibbs_sweep(s, data, sk), None
+            s, _ = jax.lax.scan(step, state,
+                                jax.random.split(kk, sweeps_per_round))
+            return s
+
+        states = jax.vmap(run_chain)(states,
+                                     jax.random.split(k_sweep, n_chains))
+        log_w = jax.vmap(chain_loglik)(states)
+        w = jax.nn.softmax(log_w)
+        ess = 1.0 / jnp.sum(w * w)
+        resampled, _ = systematic_resample(k_res, log_w, states)
+        states = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(ess < ess_threshold * n_chains,
+                            (1,) * a.ndim), a, b),
+            resampled, states)
+        return states, jnp.mean(log_w)
+
+    logliks = []
+    for r in range(n_rounds):
+        states, ll = one_round(states, jax.random.fold_in(k_loop, r))
+        logliks.append(ll)
+    return states, jnp.stack(logliks)
