@@ -75,6 +75,130 @@ class BayesianGMM(BayesianMixture):
                              psi_scale=psi_scale, nu=nu, dtype=dtype)
         return BayesianGMM(g, c, tied=tied, maxsubiter=maxsubiter)
 
+    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=32768,
+                     init_state=None, randomize=True):
+        """Mean-field VI with the fused Pallas E-step: responsibilities are
+        never materialized in HBM (ops/pallas_estep.py). Full-covariance
+        (NIW) components only; either gating.
+
+        The ELBO trace reports ELBO(state_t) exactly (lse identity), which
+        is the standard engine's trace shifted by one sweep. Returns
+        (MFState, vlb_trace)."""
+        from mimo_tpu.distributions.niw import NIW as _NIW
+        from mimo_tpu.ops.pallas_estep import estep_from_xt
+        if not isinstance(self.components_prior, _NIW):
+            raise TypeError('fused engine supports full-covariance (NIW) '
+                            'components only')
+        data = data if isinstance(data, tuple) else (data,)
+        x = data[0]
+        if x.shape[0] % block_size:
+            raise ValueError(
+                f'N={x.shape[0]} must be a multiple of block_size='
+                f'{block_size}; use parallel.pad_to_multiple + point '
+                f'weights, or the standard fit_vi')
+        if isinstance(key, int) or key is None:
+            key = jax.random.PRNGKey(key or 0)
+        cache_key = ('vi_fused', maxiter, block_size, randomize,
+                     init_state is not None)
+        if cache_key not in self._cache:
+            def run(x, key, init_state):
+                from mimo_tpu.models.mixture import MFState as _MF
+                xt = x.astype(jnp.float32).T
+                if randomize or init_state is None:
+                    r = jax.random.uniform(key, (x.shape[0], self.size),
+                                           dtype=x.dtype, minval=1e-3,
+                                           maxval=1.0)
+                    resp = r / jnp.sum(r, axis=-1, keepdims=True)
+                    state = self._mf_update((x,), resp)
+                else:
+                    state = init_state
+
+                def step(state, _):
+                    log_pi = state.gating.expected_log_pi()
+                    res = estep_from_xt(state.components, log_pi, xt,
+                                        block_size)
+                    vlb = (res.lse
+                           - jnp.sum(self.family.kl(state.components,
+                                                    self.components_prior))
+                           - jnp.sum(state.gating.kl_divergence(
+                               self.gating_prior)))
+                    new = _MF(
+                        components=self.family.update(
+                            self.components_prior,
+                            jax.tree.map(lambda a: a.astype(x.dtype),
+                                         res.stats)),
+                        gating=self.gating_prior.update(
+                            res.counts.astype(x.dtype)))
+                    return new, vlb
+
+                state, vlb = jax.lax.scan(step, state, None, length=maxiter)
+                return state, vlb
+
+            self._cache[cache_key] = jax.jit(run)
+        return self._cache[cache_key](x, key, init_state)
+
+    def fit_gibbs_fused(self, data, key=None, maxiter=100,
+                        block_size=32768):
+        """Blocked Gibbs with the fused Pallas label kernel: per sweep, the
+        N x K log-probs and the labels' one-hot never touch HBM
+        (ops/pallas_gibbs.py). Full-covariance (NIW) components only.
+        Returns the final GibbsState."""
+        from mimo_tpu.distributions.niw import NIW as _NIW
+        from mimo_tpu.models.mixture import GibbsState as _GS
+        from mimo_tpu.ops.pallas_gibbs import (
+            gibbs_labels_from_xt, gauss_plugin_nat)
+        if not isinstance(self.components_prior, _NIW):
+            raise TypeError('fused engine supports full-covariance (NIW) '
+                            'components only')
+        data = data if isinstance(data, tuple) else (data,)
+        x = data[0]
+        if x.shape[0] % block_size:
+            raise ValueError(f'N must be a multiple of {block_size}')
+        if isinstance(key, int) or key is None:
+            key = jax.random.PRNGKey(key or 0)
+        cache_key = ('gibbs_fused', maxiter, block_size)
+        if cache_key not in self._cache:
+            def run(x, key):
+                from mimo_tpu.distributions import niw as _niw_mod
+                xt = x.astype(jnp.float32).T
+                comp = self.components_prior
+                gating = self.gating_prior
+
+                params0 = self.family.mode_params(comp)
+                log_pi0 = jnp.log(jnp.full((self.size,), 1.0 / self.size,
+                                           x.dtype))
+                labels0 = jnp.zeros((x.shape[0],), jnp.int32)
+
+                def sweep(carry, inp):
+                    comp, gating, _, _, _ = carry
+                    k_par, k_pi, seed_bits = inp
+                    params = self.family.sample_params(k_par, comp)
+                    probs = gating.sample(k_pi)
+                    log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
+                    nat = gauss_plugin_nat(params, log_pi)
+                    labels, res = gibbs_labels_from_xt(
+                        seed_bits, nat, xt, block_size)
+                    stats = jax.tree.map(lambda a: a.astype(x.dtype),
+                                         res.stats)
+                    comp = self.family.update(self.components_prior, stats)
+                    gating = self.gating_prior.update(
+                        res.counts.astype(x.dtype))
+                    return (comp, gating, params, log_pi, labels), None
+
+                keys = jax.random.split(key, maxiter * 2).reshape(
+                    maxiter, 2, 2)
+                seeds = jax.random.randint(
+                    jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+                (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
+                    sweep, (comp, gating, params0, log_pi0, labels0),
+                    (keys[:, 0], keys[:, 1], seeds))
+                return _GS(components=comp, gating=gating, params=params,
+                           log_pi=log_pi, labels=labels)
+
+            self._cache[cache_key] = jax.jit(run)
+        return self._cache[cache_key](x, key)
+
     # sampling synthetic data from the prior predictive of given params
     @staticmethod
     def generate(key, params: GaussParams, weights, n):
@@ -87,7 +211,11 @@ class BayesianGMM(BayesianMixture):
         covs = inv_psd(params.lmbda)
         chol = jnp.linalg.cholesky(symmetrize(covs))
         z = jax.random.normal(k_x, (n, params.mu.shape[-1]), params.mu.dtype)
-        x = params.mu[labels] + jnp.einsum('ndl,nl->nd', chol[labels], z)
+        # gather-free: one-hot contraction instead of chol[labels] — the
+        # gathered (N, d, d) tensor gets a T(2,128) layout on TPU whose
+        # padding blows memory up 64x at N in the tens of millions.
+        oh = jax.nn.one_hot(labels, params.mu.shape[0], dtype=z.dtype)
+        x = oh @ params.mu + jnp.einsum('nk,kde,ne->nd', oh, chol, z)
         return x, labels
 
 

@@ -1,0 +1,163 @@
+"""Pallas TPU kernel: fused blocked-Gibbs label sweep for GMMs.
+
+Per block of B points, in one pass over HBM-resident data:
+    logp   = x @ h1^T + (x (x) x) @ h2^T + c        (B, K)   [plug-in params]
+    g      = Gumbel noise from the on-core PRNG                (pltpu.prng_*)
+    labels = argmax_k (logp + g)                     — categorical sampling
+    oh     = one_hot(labels)
+    s1 += oh^T x ; sxx += oh^T xx ; cnt += sum oh    — label statistics
+so a Gibbs sweep's entire data-side work (label sampling + sufficient
+statistics, reference gmm.py:227-237 + utils/stats.py:8-21) is one kernel:
+neither the N x K log-prob matrix nor the labels' one-hot ever exist in
+HBM. The K-sized conjugate updates and parameter draws stay in XLA.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mimo_tpu.distributions.niw import GaussStats
+from mimo_tpu.ops.estep import EStepResult
+from mimo_tpu.utils.stats import LOG2PI
+
+
+def _dn(ca, cb):
+    return (((ca,), (cb,)), ((), ()))
+
+
+def _gibbs_kernel(seed_ref, x_ref, h1_ref, h2_ref, c_ref,
+                  lab_ref, s1_ref, sxx_ref, cnt_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        sxx_ref[:] = jnp.zeros_like(sxx_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    pltpu.prng_seed(seed_ref[0], i)
+
+    xt = x_ref[:]                                    # (d, B)
+    d, b = xt.shape
+    k = h1_ref.shape[0]
+
+    logp = jax.lax.dot_general(xt, h1_ref[:], _dn(0, 1),
+                               preferred_element_type=jnp.float32) \
+        + c_ref[:]                                   # (B, K)
+    for j in range(d):
+        t_j = xt * xt[j:j + 1, :]
+        logp += jax.lax.dot_general(t_j, h2_ref[:, j * d:(j + 1) * d],
+                                    _dn(0, 1),
+                                    preferred_element_type=jnp.float32)
+
+    # Gumbel-max categorical sampling with the on-core PRNG
+    bits = pltpu.prng_random_bits((b, k))
+    u = pltpu.bitcast(
+        jnp.bitwise_or(jnp.right_shift(pltpu.bitcast(bits, jnp.uint32), 9),
+                       jnp.uint32(0x3F800000)), jnp.float32) - 1.0
+    gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+    perturbed = logp + gumbel
+    # manual argmax (Mosaic cannot lower jnp.argmax): max + masked int-min
+    mx = jnp.max(perturbed, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    labels = jnp.min(jnp.where(perturbed >= mx, col, k), axis=-1)  # (B,)
+    lab_ref[:] = labels[None, :].astype(jnp.int32)
+
+    oh = jnp.where(col == labels[:, None], jnp.float32(1.0),
+                   jnp.float32(0.0))                            # (B, K)
+
+    s1_ref[:] += jax.lax.dot_general(oh, xt, _dn(0, 1),
+                                     preferred_element_type=jnp.float32)
+    for j in range(d):
+        t_j = xt * xt[j:j + 1, :]
+        sxx_ref[:, j * d:(j + 1) * d] += jax.lax.dot_general(
+            oh, t_j, _dn(0, 1), preferred_element_type=jnp.float32)
+    cnt_ref[:] += jnp.sum(oh, axis=0, keepdims=True)
+
+
+def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
+    """Sample labels + accumulate one-hot statistics in one fused pass.
+
+    Args:
+      seed: int32 scalar PRNG seed (fold the sweep index in upstream).
+      params_nat: (h1 (K, d), h2f (K, d*d), c (1, K)) — the plug-in
+        log-density in natural form: logp = x h1^T + xx h2f^T + c.
+      xt: (d, N) float32, N a multiple of block_size.
+    Returns: (labels (N,) int32, EStepResult with one-hot stats).
+    """
+    h1, h2f, c2 = params_nat
+    d, n = xt.shape
+    k = h1.shape[0]
+    grid = n // block_size
+
+    if jax.default_backend() != 'tpu':
+        # XLA fallback (CPU tests / multichip dryruns): same semantics —
+        # pltpu.prng_* has no interpreter lowering.
+        x = xt.T
+        xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
+        logp = x @ h1.T + xx @ h2f.T + c2
+        key = jax.random.PRNGKey(seed)
+        labels = jax.random.categorical(key, logp, axis=-1).astype(jnp.int32)
+        oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+        counts = jnp.sum(oh, axis=0)
+        stats = GaussStats(x=oh.T @ x, n1=counts,
+                           xxT=(oh.T @ xx).reshape(k, d, d), n2=counts)
+        return labels, EStepResult(stats=stats,
+                                   lse=jnp.zeros((), jnp.float32),
+                                   counts=counts)
+
+    lab, s1, sxx, cnt = pl.pallas_call(
+        _gibbs_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((k, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != 'tpu',
+    )(jnp.asarray([seed], jnp.int32), xt, h1, h2f, c2)
+
+    counts = cnt[0]
+    stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
+    return lab[0], EStepResult(stats=stats, lse=jnp.zeros((), jnp.float32),
+                               counts=counts)
+
+
+def gauss_plugin_nat(params, log_pi):
+    """Plug-in Gaussian log-density in the kernel's natural form:
+    h1 = Lambda mu; h2 = -1/2 Lambda; c = -1/2 mu'Lmu + 1/2 logdet L
+        - d/2 log2pi + log pi."""
+    from mimo_tpu.utils.linalg import cholesky
+    mu, lmbda = params.mu, params.lmbda
+    k, d, _ = lmbda.shape
+    h1 = jnp.einsum('kde,ke->kd', lmbda, mu)
+    h2 = -0.5 * lmbda
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cholesky(lmbda),
+                                                axis1=-2, axis2=-1)), axis=-1)
+    c = (-0.5 * jnp.einsum('kd,kd->k', mu, h1) + 0.5 * logdet
+         - 0.5 * d * LOG2PI + log_pi)
+    return (h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),
+            c.reshape(1, k).astype(jnp.float32))
