@@ -1,0 +1,123 @@
+"""ctypes binding for the native data loader (native/loader.cc).
+
+`MmapDataset` serves minibatches from a memory-mapped float32 matrix file
+with multithreaded row gather — the out-of-core data path for stochastic
+VI on datasets beyond host RAM / device HBM. Build the library once with
+`make -C native` (done automatically on first use if g++ is available).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libmimo_loader.so')
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.mimo_open.restype = ctypes.c_void_p
+    lib.mimo_open.argtypes = [ctypes.c_char_p,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int64)]
+    lib.mimo_close.argtypes = [ctypes.c_void_p]
+    lib.mimo_gather.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_int64),
+                                ctypes.c_int64,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.c_int]
+    lib.mimo_read_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_float)]
+    lib.mimo_csv_to_bin.restype = ctypes.c_int64
+    lib.mimo_csv_to_bin.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.mimo_write_bin.restype = ctypes.c_int64
+    lib.mimo_write_bin.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int64, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def write_bin(path, array):
+    """Write a float32 (N, d) array in the loader's binary format."""
+    lib = _load()
+    arr = np.ascontiguousarray(np.asarray(array, np.float32))
+    rows = lib.mimo_write_bin(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.shape[0], arr.shape[1])
+    if rows != arr.shape[0]:
+        raise IOError(f'failed to write {path}')
+    return path
+
+
+def csv_to_bin(csv_path, bin_path):
+    """Convert a headerless numeric CSV (e.g. the reference's ilr/cmb.csv)
+    to the binary format. Returns the row count."""
+    lib = _load()
+    rows = lib.mimo_csv_to_bin(csv_path.encode(), bin_path.encode())
+    if rows < 0:
+        raise IOError(f'failed to parse {csv_path}')
+    return int(rows)
+
+
+class MmapDataset:
+    """Memory-mapped float32 matrix with O(1) open and threaded gather."""
+
+    def __init__(self, path, n_threads=8):
+        self._lib = _load()
+        rows = ctypes.c_int64()
+        cols = ctypes.c_int64()
+        self._h = self._lib.mimo_open(path.encode(), ctypes.byref(rows),
+                                      ctypes.byref(cols))
+        if not self._h:
+            raise IOError(f'cannot open dataset {path}')
+        self.shape = (rows.value, cols.value)
+        self.n_threads = n_threads
+
+    def gather(self, indices):
+        """Rows by index -> float32 (len(indices), d)."""
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        out = np.empty((idx.shape[0], self.shape[1]), np.float32)
+        self._lib.mimo_gather(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0], out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_threads)
+        return out
+
+    def read_block(self, start, count):
+        count = min(count, self.shape[0] - start)
+        out = np.empty((count, self.shape[1]), np.float32)
+        self._lib.mimo_read_block(
+            self._h, start, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+    def sample(self, rng, batch_size):
+        """One uniform minibatch (reference `batches` semantics)."""
+        idx = rng.choice(self.shape[0], size=batch_size, replace=False)
+        return self.gather(idx)
+
+    def minibatches(self, rng, batch_size, steps):
+        for _ in range(steps):
+            yield self.sample(rng, batch_size)
+
+    def close(self):
+        if self._h:
+            self._lib.mimo_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -209,6 +209,44 @@ class BayesianMixture:
 
         return fn(run, data, key, init_state, step_size)
 
+    def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
+                       step_size=1e-2, batch_size=128, init_state=None):
+        """Out-of-core SVI: the host supplies minibatches (e.g. from
+        io.MmapDataset over a file bigger than RAM/HBM); one jitted
+        natural-gradient step runs per batch.
+
+        `next_batch(i) -> array or tuple of arrays` with leading dim
+        batch_size; `total_size` is N for the stochastic scale B/N.
+        Returns the final MFState."""
+        key = _as_key(key)
+        scale = batch_size / total_size
+        step_key = ('svi_stream',)
+        if step_key not in self._cache:
+            def one_step(state, batch, step_size):
+                resp = self.expected_responsibilities(state, batch)
+                stats = self.family.suff_stats(batch, resp)
+                counts = jnp.sum(resp, axis=0)
+                return MFState(
+                    components=self.family.svi_blend(
+                        state.components, self.components_prior, stats,
+                        scale, step_size),
+                    gating=self.gating_prior.svi_blend(
+                        state.gating, counts, scale, step_size))
+            self._cache[step_key] = jax.jit(one_step)
+        step_fn = self._cache[step_key]
+
+        if init_state is None:
+            batch0 = _as_tuple(next_batch(0))
+            n0 = batch0[0].shape[0]
+            resp0 = _random_resp(key, n0, self.size, batch0[0].dtype)
+            state = self._mf_update(batch0, resp0)
+        else:
+            state = init_state
+        for i in range(maxiter):
+            batch = _as_tuple(next_batch(i))
+            state = step_fn(state, batch, step_size)
+        return jax.block_until_ready(state)
+
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
 
     def _gibbs_sweep(self, state: GibbsState, data, key, point_weights=None):
