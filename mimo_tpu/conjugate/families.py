@@ -305,7 +305,17 @@ def _pool_ng(p: _ng.NG) -> _ng.NG:
                                             p.beta.shape))
 
 
-_POOLERS = {_niw.NIW: _pool_niw, _mnw.MNW: _pool_mnw, _ng.NG: _pool_ng}
+def _pool_mng(p: _mng.MNG) -> _mng.MNG:
+    """Pool alpha, beta across K experts (TiedLinearGaussiansWith
+    MatrixNormalGammas, composite.py:1050-1075)."""
+    return p._replace(alpha=jnp.broadcast_to(jnp.mean(p.alpha, 0, keepdims=True),
+                                             p.alpha.shape),
+                      beta=jnp.broadcast_to(jnp.mean(p.beta, 0, keepdims=True),
+                                            p.beta.shape))
+
+
+_POOLERS = {_niw.NIW: _pool_niw, _mnw.MNW: _pool_mnw, _ng.NG: _pool_ng,
+            _mng.MNG: _pool_mng}
 
 
 def tied_family(base: Family, pooler=None) -> Family:

@@ -105,6 +105,31 @@ class BayesianILR(BayesianMixture):
         return BayesianILR(g, basis, models, affine=affine,
                            maxsubiter=maxsubiter)
 
+    @staticmethod
+    def generate(key, basis_params, expert_params, weights, n, affine=True):
+        """Draw (x, y, z) from a known mixture of linear experts — the
+        reference's self-validating demo generator (ilr.py:51-64),
+        vectorized and gather-free."""
+        from mimo_tpu.utils.linalg import inv_psd, symmetrize
+        k_z, k_x, k_y = jax.random.split(key, 3)
+        kk = weights.shape[-1]
+        z = jax.random.categorical(
+            k_z, jnp.broadcast_to(jnp.log(weights), (n, kk)), axis=-1)
+        oh = jax.nn.one_hot(z, kk, dtype=weights.dtype)
+        # x | z ~ N(mu_z, lmbda_z^{-1})
+        bx_chol = jnp.linalg.cholesky(symmetrize(inv_psd(basis_params.lmbda)))
+        ex = jax.random.normal(k_x, (n, basis_params.mu.shape[-1]),
+                               weights.dtype)
+        x = oh @ basis_params.mu + jnp.einsum('nk,kde,ne->nd', oh, bx_chol, ex)
+        # y | x, z ~ N(A_z xt, lmbda_z^{-1})
+        xa = augment(x, affine)
+        mean_y = jnp.einsum('nk,kpq,nq->np', oh, expert_params.A, xa)
+        ey_chol = jnp.linalg.cholesky(symmetrize(inv_psd(expert_params.lmbda)))
+        ey = jax.random.normal(k_y, (n, expert_params.A.shape[-2]),
+                               weights.dtype)
+        y = mean_y + jnp.einsum('nk,kpr,nr->np', oh, ey_chol, ey)
+        return x, y, z
+
     # -- standardization (ilr.py:107-127) ----------------------------------
 
     def init_transform(self, x, y):

@@ -18,6 +18,25 @@ def one_hot(labels, num_classes, dtype=jnp.float32):
     return jax.nn.one_hot(labels, num_classes, dtype=dtype)
 
 
+def nan_mask(*arrays):
+    """Static-shape NaN handling: returns (clean_arrays, weights) where
+    rows containing any NaN in ANY array get weight 0 and are zero-filled.
+
+    The reference drops NaN rows with boolean indexing in every statistics
+    and log-likelihood call (gaussian.py:191-192, lingauss.py:103-105) —
+    dynamic shapes. Here the engines' `point_weights` make masked rows
+    exact no-ops with static shapes; pass the returned weights in.
+    """
+    import jax.numpy as _jnp
+    bad = None
+    for a in arrays:
+        b = _jnp.isnan(a).any(axis=tuple(range(1, a.ndim)))
+        bad = b if bad is None else (bad | b)
+    weights = _jnp.where(bad, 0.0, 1.0).astype(arrays[0].dtype)
+    clean = tuple(_jnp.nan_to_num(a) for a in arrays)
+    return clean if len(clean) > 1 else clean[0], weights
+
+
 def sample_batch_indices(key, data_size, batch_size):
     """One random minibatch of indices per call, without replacement.
 
