@@ -39,8 +39,12 @@ def main():
     mm = BayesianMixtureOfMixtures.make_ilr(
         cluster_size=2, mixture_size=6, input_dim=1, output_dim=1,
         kappa=0.05)
+    mm.init_transform(x, y)
     st2, tr = mm.fit_vi((x, y), key=args.seed, maxiter=40, maxsubiter=2)
-    print(f'mixture-of-ILRs marginal loglik {float(tr[-1]):.1f}')
+    mu2, _, _, nlpd2 = mm.predict(st2, x, y)
+    print(f'mixture-of-ILRs marginal loglik {float(tr[-1]):.1f}, RMSE '
+          f'{float(jnp.sqrt(jnp.mean((mu2 - y) ** 2))):.4f}, '
+          f'mean NLPD {float(jnp.mean(nlpd2)):.4f}')
 
     if args.plot:
         import matplotlib

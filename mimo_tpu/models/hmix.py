@@ -46,12 +46,16 @@ class BayesianMixtureOfMixtures:
     mixture over K components (same family across clusters)."""
 
     def __init__(self, outer_gating_prior, inner_gating_prior,
-                 components_prior, family: Family):
+                 components_prior, family: Family, kind='gmm', affine=True):
         """inner_gating_prior and components_prior carry a leading M axis."""
         self.outer_gating_prior = outer_gating_prior
         self.inner_gating_prior = inner_gating_prior
         self.components_prior = components_prior
         self.family = family
+        self.kind = kind
+        self.affine = affine
+        self.input_transform = None
+        self.output_transform = None
         self.cluster_size = outer_gating_prior.dim
         self.mixture_size = jax.tree.leaves(inner_gating_prior)[0].shape[-1]
         self._cache = {}
@@ -123,7 +127,8 @@ class BayesianMixtureOfMixtures:
         comp_m = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (cluster_size,) + a.shape), comp)
         return BayesianMixtureOfMixtures(outer, inner_g, comp_m,
-                                         ilr_family(affine=affine))
+                                         ilr_family(affine=affine),
+                                         kind='ilr', affine=affine)
 
     # -- expectations -------------------------------------------------------
 
@@ -178,10 +183,17 @@ class BayesianMixtureOfMixtures:
             jnp.sum(outer_resp, axis=0))
         return state._replace(outer_gating=outer_gating)
 
+    def _tx_data(self, data):
+        data = data if isinstance(data, tuple) else (data,)
+        if self.kind == 'ilr' and self.input_transform is not None:
+            data = (self.input_transform.transform(data[0]),
+                    self.output_transform.transform(data[1]))
+        return data
+
     def fit_vi(self, data, key=None, maxiter=100, maxsubiter=3,
                randomize=True):
         """Nested mean-field coordinate ascent (hgmm.py:382-431)."""
-        data = data if isinstance(data, tuple) else (data,)
+        data = self._tx_data(data)
         key = _as_key(key)
         fn = self._jit('vi', maxiter=maxiter, maxsubiter=maxsubiter,
                        randomize=randomize)
@@ -266,7 +278,7 @@ class BayesianMixtureOfMixtures:
 
     def fit_gibbs(self, data, key=None, maxiter=100, maxsubiter=2,
                   init_labels='prior'):
-        data = data if isinstance(data, tuple) else (data,)
+        data = self._tx_data(data)
         key = _as_key(key)
         fn = self._jit('gibbs', maxiter=maxiter, maxsubiter=maxsubiter,
                        init_labels=init_labels)
@@ -289,6 +301,104 @@ class BayesianMixtureOfMixtures:
             return state
 
         return fn(run, data, key)
+
+    # -- prediction (hilr.py:527-609, hgmm two-level predictive density) ----
+
+    def _log_mix_weights(self, state: HMixState):
+        """(M, K) log [E[pi_outer]_m * E[pi_inner]_{m,k}] from posterior
+        means (hilr.py:541-550 uses posterior.mean() at both levels)."""
+        log_out = jnp.log(jnp.clip(state.outer_gating.mean(), 1e-37, None))
+        log_in = jnp.log(jnp.clip(
+            jax.vmap(lambda g: g.mean())(state.inner_gating), 1e-37, None))
+        return log_out[:, None] + log_in
+
+    def log_predictive(self, state: HMixState, data, dist='studentt'):
+        """Marginal posterior-predictive log density, (N,): logsumexp over
+        all (M, K) of mixture weights x component predictive."""
+        data = data if isinstance(data, tuple) else (data,)
+        fn = (self.family.log_predictive if dist == 'studentt'
+              else self.family.log_predictive_gaussian)
+        log_p = jax.vmap(lambda post: fn(post, data))(
+            state.components)                               # (M, N, K)
+        log_w = self._log_mix_weights(state)                # (M, K)
+        return logsumexp(log_p + log_w[:, None, :], axis=(0, 2))
+
+    def init_transform(self, x, y):
+        """Optional input/output standardization (hilr.py:527-536)."""
+        from mimo_tpu.utils.data import Standardizer
+        self.input_transform = Standardizer.fit(x)
+        self.output_transform = Standardizer.fit(y)
+
+    def predictive_weights(self, state: HMixState, x, dist='gaussian'):
+        """(N, M, K) joint input-conditional weights (hilr.py:541-551):
+        softmax over both levels of log E[pi_out] + log E[pi_in] +
+        basis-predictive logpdf."""
+        from mimo_tpu.distributions import niw as _niw
+        basis_post, _ = state.components
+        fn = (_niw.log_predictive_gaussian if dist == 'gaussian'
+              else _niw.log_predictive_studentt)
+        log_basis = jax.vmap(lambda p: fn(p, x))(basis_post)   # (M, N, K)
+        log_w = log_basis + self._log_mix_weights(state)[:, None, :]
+        log_w = jnp.moveaxis(log_w, 0, 1)                      # (N, M, K)
+        flat = log_w.reshape(log_w.shape[0], -1)
+        w = jax.nn.softmax(flat, axis=-1)
+        return w.reshape(log_w.shape)
+
+    def predictive_moments(self, state: HMixState, x, dist='gaussian'):
+        """Per-(cluster, expert) predictive mean (N, M, K, p) and
+        covariance (N, M, K, p, p) (hilr.py:553-560)."""
+        from mimo_tpu.distributions import mnw as _mnw
+        from mimo_tpu.distributions.mnw import augment
+        _, models_post = state.components
+        xa = augment(x, self.affine)
+        fn = (_mnw.predictive_moments_gaussian if dist == 'gaussian'
+              else _mnw.predictive_moments_studentt)
+        mus, covs = jax.vmap(lambda p: fn(p, xa))(models_post)  # (M, N, K, ..)
+        return jnp.moveaxis(mus, 0, 1), jnp.moveaxis(covs, 0, 1)
+
+    def predict(self, state: HMixState, x, y=None, prediction='average',
+                dist='gaussian'):
+        """Two-level posterior-predictive regression (hilr.py:573-609):
+        mode picks the argmax over all M*K experts, average moment-matches
+        the full two-level mixture. Returns (mean, var, std, nlpd)."""
+        if self.kind != 'ilr':
+            raise ValueError('predict() is for make_ilr models; use '
+                             'log_predictive for density models')
+        from mimo_tpu.models.ilr import BayesianILR
+        xx = x if self.input_transform is None \
+            else self.input_transform.transform(x)
+        n = x.shape[0]
+        weights = self.predictive_weights(state, xx, dist)   # (N, M, K)
+        mus, covs = self.predictive_moments(state, xx, dist)
+        j = self.cluster_size * self.mixture_size
+        w_f = weights.reshape(n, j)
+        mus_f = mus.reshape(n, j, -1)
+        covs_f = covs.reshape(n, j, mus_f.shape[-1], mus_f.shape[-1])
+        if prediction == 'mode':
+            k = jnp.argmax(w_f, axis=-1)
+            idx = jnp.arange(n)
+            mu, cov = mus_f[idx, k], covs_f[idx, k]
+        else:
+            mu, cov = BayesianILR.mixture_moments(mus_f, covs_f, w_f,
+                                                  diag=False)
+        nlpd = None
+        if y is not None:
+            from mimo_tpu.distributions import mnw as _mnw
+            from mimo_tpu.distributions.mnw import augment
+            yy = y if self.output_transform is None \
+                else self.output_transform.transform(y)
+            xa = augment(xx, self.affine)
+            fn = (_mnw.log_predictive_gaussian if dist == 'gaussian'
+                  else _mnw.log_predictive_studentt)
+            log_pl = jax.vmap(lambda p: fn(p, xa, yy))(
+                state.components[1])                          # (M, N, K)
+            log_pl = jnp.moveaxis(log_pl, 0, 1).reshape(n, j)
+            nlpd = -logsumexp(log_pl + jnp.log(w_f + 1e-37), axis=-1)
+        if self.output_transform is not None:
+            mu = self.output_transform.inverse_transform(mu)
+            cov = self.output_transform.scale_cov(cov)
+        var = jnp.diagonal(cov, axis1=-2, axis2=-1)
+        return mu, var, jnp.sqrt(var), nlpd
 
     # -- plumbing -----------------------------------------------------------
 

@@ -123,3 +123,43 @@ def test_mixture_of_mixtures_ilr_builds(nested_data):
         kappa=0.05, dtype=jnp.float64)
     st, tr = m.fit_vi((x, y), key=0, maxiter=30, maxsubiter=2)
     assert np.isfinite(np.asarray(tr)).all()
+
+
+def test_mixture_of_mixtures_ilr_predict():
+    """Two-level predictive (hilr.py:527-609): moment-matched prediction
+    on a sine reaches the noise floor; mode prediction and NLPD work."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-3, 3, (1500, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x) * 2)
+                    + 0.1 * rng.standard_normal((1500, 1)))
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=8, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    m.init_transform(x, y)
+    st, tr = m.fit_vi((x, y), key=2, maxiter=80, maxsubiter=3)
+    mu, var, std, nlpd = m.predict(st, x, y)
+    rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
+    assert rmse < 0.25, rmse
+    assert np.isfinite(np.asarray(nlpd)).all()
+    assert np.all(np.asarray(var) > 0)
+    mu_m, _, _, _ = m.predict(st, x, prediction='mode')
+    assert float(jnp.sqrt(jnp.mean((mu_m - y) ** 2))) < 0.35
+    w = m.predictive_weights(st, m.input_transform.transform(x))
+    np.testing.assert_allclose(np.asarray(w.sum(axis=(1, 2))), 1.0,
+                               rtol=1e-6)
+
+
+def test_mixture_of_mixtures_log_predictive(nested_data):
+    """Predictive density of the nested GMM: in-distribution points score
+    higher than far-away outliers."""
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=5,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    st, _ = m.fit_vi(x, key=0, maxiter=50, maxsubiter=3)
+    lp_in = np.asarray(m.log_predictive(st, x[:100]))
+    lp_out = np.asarray(m.log_predictive(
+        st, jnp.full((5, 2), 50.0, jnp.float64)))
+    assert np.isfinite(lp_in).all()
+    assert lp_in.mean() > lp_out.max() + 10
