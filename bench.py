@@ -46,13 +46,14 @@ def main():
     model = BayesianGMM.make(size=K, dim=D, gating='dp', alpha=1.0,
                              kappa=0.05, psi_scale=0.5)
 
-    # warm-up (compile)
-    state, vlb = model.fit_vi(x, key=1, maxiter=ITERS)
+    # warm-up (compile); the fused blockwise engine is the fast path —
+    # responsibilities never materialize in HBM (ops/estep.py)
+    state, vlb = model.fit_vi_fused(x, key=1, maxiter=ITERS)
     jax.block_until_ready(vlb)
     assert bool(jnp.isfinite(vlb[-1])), 'non-finite ELBO'
 
     t0 = time.time()
-    state, vlb = model.fit_vi(x, key=1, maxiter=ITERS)
+    state, vlb = model.fit_vi_fused(x, key=1, maxiter=ITERS)
     jax.block_until_ready(vlb)
     vi_rate = ITERS / (time.time() - t0)
 

@@ -75,22 +75,34 @@ class BayesianGMM(BayesianMixture):
                              psi_scale=psi_scale, nu=nu, dtype=dtype)
         return BayesianGMM(g, c, tied=tied, maxsubiter=maxsubiter)
 
-    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=32768,
-                     init_state=None, randomize=True):
-        """Mean-field VI with the fused Pallas E-step: responsibilities are
-        never materialized in HBM (ops/pallas_estep.py). Full-covariance
+    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
+                     init_state=None, randomize=True, backend='xla'):
+        """Mean-field VI with a fused blockwise E-step: the N x K
+        responsibilities are never materialized in HBM. Full-covariance
         (NIW) components only; either gating.
+
+        backend='xla' streams blocks with `lax.scan` (ops/estep.py) — the
+        fastest path on current hardware (~1.6x the dense engine at N=1e6,
+        K=50) and free of Mosaic tiling constraints; backend='pallas' uses
+        the hand-written kernel (ops/pallas_estep.py). block_size=None
+        picks the largest divisor of N below 128k (pallas additionally
+        needs a multiple of 128).
 
         The ELBO trace reports ELBO(state_t) exactly (lse identity), which
         is the standard engine's trace shifted by one sweep. Returns
         (MFState, vlb_trace)."""
         from mimo_tpu.distributions.niw import NIW as _NIW
+        from mimo_tpu.ops.estep import gmm_estep_blockwise, pick_block_size
         from mimo_tpu.ops.pallas_estep import estep_from_xt
         if not isinstance(self.components_prior, _NIW):
             raise TypeError('fused engine supports full-covariance (NIW) '
                             'components only')
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
+        if block_size is None:
+            block_size = pick_block_size(x.shape[0],
+                                         multiple=128 if backend == 'pallas'
+                                         else 1)
         if x.shape[0] % block_size:
             raise ValueError(
                 f'N={x.shape[0]} must be a multiple of block_size='
@@ -99,7 +111,7 @@ class BayesianGMM(BayesianMixture):
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('vi_fused', maxiter, block_size, randomize,
-                     init_state is not None)
+                     init_state is not None, backend)
         if cache_key not in self._cache:
             def run(x, key, init_state):
                 from mimo_tpu.models.mixture import MFState as _MF
@@ -115,8 +127,12 @@ class BayesianGMM(BayesianMixture):
 
                 def step(state, _):
                     log_pi = state.gating.expected_log_pi()
-                    res = estep_from_xt(state.components, log_pi, xt,
-                                        block_size)
+                    if backend == 'pallas':
+                        res = estep_from_xt(state.components, log_pi, xt,
+                                            block_size)
+                    else:
+                        res = gmm_estep_blockwise(state.components, log_pi,
+                                                  x, block_size)
                     vlb = (res.lse
                            - jnp.sum(self.family.kl(state.components,
                                                     self.components_prior))
@@ -138,13 +154,17 @@ class BayesianGMM(BayesianMixture):
         return self._cache[cache_key](x, key, init_state)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100,
-                        block_size=32768):
-        """Blocked Gibbs with the fused Pallas label kernel: per sweep, the
-        N x K log-probs and the labels' one-hot never touch HBM
-        (ops/pallas_gibbs.py). Full-covariance (NIW) components only.
-        Returns the final GibbsState."""
+                        block_size=None, backend='xla'):
+        """Blocked Gibbs with a fused blockwise label sweep: per sweep, the
+        N x K log-probs and the labels' one-hot never touch HBM.
+        backend='xla' streams blocks with `lax.scan`
+        (ops/estep.py gmm_gibbs_blockwise); backend='pallas' uses the
+        hand-written kernel with the on-core PRNG (ops/pallas_gibbs.py).
+        Full-covariance (NIW) components only. Returns the final
+        GibbsState."""
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.models.mixture import GibbsState as _GS
+        from mimo_tpu.ops.estep import gmm_gibbs_blockwise, pick_block_size
         from mimo_tpu.ops.pallas_gibbs import (
             gibbs_labels_from_xt, gauss_plugin_nat)
         if not isinstance(self.components_prior, _NIW):
@@ -152,14 +172,17 @@ class BayesianGMM(BayesianMixture):
                             'components only')
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
+        if block_size is None:
+            block_size = pick_block_size(x.shape[0],
+                                         multiple=128 if backend == 'pallas'
+                                         else 1)
         if x.shape[0] % block_size:
             raise ValueError(f'N must be a multiple of {block_size}')
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
-        cache_key = ('gibbs_fused', maxiter, block_size)
+        cache_key = ('gibbs_fused', maxiter, block_size, backend)
         if cache_key not in self._cache:
             def run(x, key):
-                from mimo_tpu.distributions import niw as _niw_mod
                 xt = x.astype(jnp.float32).T
                 comp = self.components_prior
                 gating = self.gating_prior
@@ -171,13 +194,17 @@ class BayesianGMM(BayesianMixture):
 
                 def sweep(carry, inp):
                     comp, gating, _, _, _ = carry
-                    k_par, k_pi, seed_bits = inp
+                    k_par, k_pi, k_lab, seed_bits = inp
                     params = self.family.sample_params(k_par, comp)
                     probs = gating.sample(k_pi)
                     log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
                     nat = gauss_plugin_nat(params, log_pi)
-                    labels, res = gibbs_labels_from_xt(
-                        seed_bits, nat, xt, block_size)
+                    if backend == 'pallas':
+                        labels, res = gibbs_labels_from_xt(
+                            seed_bits, nat, xt, block_size)
+                    else:
+                        labels, res = gmm_gibbs_blockwise(
+                            k_lab, nat, x, block_size)
                     stats = jax.tree.map(lambda a: a.astype(x.dtype),
                                          res.stats)
                     comp = self.family.update(self.components_prior, stats)
@@ -185,14 +212,14 @@ class BayesianGMM(BayesianMixture):
                         res.counts.astype(x.dtype))
                     return (comp, gating, params, log_pi, labels), None
 
-                keys = jax.random.split(key, maxiter * 2).reshape(
-                    maxiter, 2, 2)
+                keys = jax.random.split(key, maxiter * 3).reshape(
+                    maxiter, 3, 2)
                 seeds = jax.random.randint(
                     jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
                     dtype=jnp.int32)
                 (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
                     sweep, (comp, gating, params0, log_pi0, labels0),
-                    (keys[:, 0], keys[:, 1], seeds))
+                    (keys[:, 0], keys[:, 1], keys[:, 2], seeds))
                 return _GS(components=comp, gating=gating, params=params,
                            log_pi=log_pi, labels=labels)
 

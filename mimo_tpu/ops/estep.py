@@ -36,6 +36,16 @@ class EStepResult(NamedTuple):
     counts: jax.Array   # (K,) sum_n resp_nk  (== stats.n1; kept for clarity)
 
 
+def pick_block_size(n, target=131072, multiple=1):
+    """Largest divisor of n that is <= target and a multiple of `multiple`
+    (Mosaic lane tiling needs multiples of 128; XLA scan blocks are free).
+    Falls back to n itself when no such divisor exists."""
+    for b in range(min(n, target), multiple - 1, -1):
+        if n % b == 0 and b % multiple == 0:
+            return b
+    return n
+
+
 def _estep_nat(post: NIW, log_pi):
     """Collapse the NIW posterior expectations into E-step natural params:
     logp_nk = x_n @ h1_k + <H2_k, x x^T> + c_k."""
@@ -103,3 +113,51 @@ def gmm_estep_blockwise(post: NIW, log_pi, x, block_size=65536):
     )
     (stats, lse), _ = jax.lax.scan(body, (zero, jnp.zeros((), x.dtype)), xb)
     return EStepResult(stats=stats, lse=lse, counts=stats.n1)
+
+
+def gmm_gibbs_blockwise(key, params_nat, x, block_size=65536):
+    """Streamed Gibbs label sweep: per block, plug-in log-probs ->
+    categorical labels -> one-hot statistics, via `lax.scan`. Neither the
+    N x K log-prob matrix nor the one-hot ever exist at full N
+    (gmm.py:227-237 + utils/stats.py:8-21, fused).
+
+    Args:
+      key: PRNG key for this sweep.
+      params_nat: (h1 (K, d), h2f (K, d*d), c (1, K)) plug-in natural form
+        (pallas_gibbs.gauss_plugin_nat).
+      x: (N, d), N a multiple of block_size.
+    Returns: (labels (N,) int32, EStepResult with one-hot stats, lse=0).
+    """
+    h1, h2f, c2 = params_nat
+    n, d = x.shape
+    k = h1.shape[0]
+    nb = n // block_size
+    assert nb * block_size == n, 'pad N to a multiple of block_size'
+    xb = x.reshape(nb, block_size, d).astype(jnp.float32)
+    keys = jax.random.split(key, nb)
+
+    def body(stats, inp):
+        x_blk, kb = inp
+        xx = (x_blk[:, :, None] * x_blk[:, None, :]).reshape(block_size,
+                                                             d * d)
+        logp = x_blk @ h1.T + xx @ h2f.T + c2
+        labels = jax.random.categorical(kb, logp, axis=-1).astype(jnp.int32)
+        oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+        counts = jnp.sum(oh, axis=0)
+        new = GaussStats(
+            x=stats.x + oh.T @ x_blk,
+            n1=stats.n1 + counts,
+            xxT=stats.xxT + (oh.T @ xx).reshape(k, d, d),
+            n2=stats.n2 + counts,
+        )
+        return new, labels
+
+    zero = GaussStats(
+        x=jnp.zeros((k, d), jnp.float32),
+        n1=jnp.zeros((k,), jnp.float32),
+        xxT=jnp.zeros((k, d, d), jnp.float32),
+        n2=jnp.zeros((k,), jnp.float32),
+    )
+    stats, labels = jax.lax.scan(body, zero, (xb, keys))
+    return labels.reshape(n), EStepResult(
+        stats=stats, lse=jnp.zeros((), jnp.float32), counts=stats.n1)

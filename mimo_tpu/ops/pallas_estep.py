@@ -1,9 +1,9 @@
 """Pallas TPU kernel: fused GMM E-step.
 
 One pass over HBM-resident data computes, per block of B points:
-    logp = x @ h1^T + (x (x) x) @ h2^T + c          (B, K)  [MXU]
-    lse  = logsumexp(logp, axis=-1)                  (B,)
-    resp = exp(logp - lse)                           (B, K)
+    logp = h1 @ x^T + h2 @ (x (x) x)^T + c          (K, B)  [MXU]
+    lse  = logsumexp(logp, axis=0)                   (B,)
+    resp = exp(logp - lse)                           (K, B)
 and accumulates s1 (K,d), sxx (K,d^2), counts (K,) and sum(lse) into
 VMEM-resident accumulators revisited by every grid step (TPU grids are
 sequential, so cross-step read-modify-write is safe).
@@ -12,13 +12,20 @@ The N x K responsibility matrix never exists in HBM — the fix for the
 reference's 4 GB K x N matrix at N=1e7 (SURVEY.md §5) and its `fold=False`
 N x d x d expected-stats tensor (gaussian.py:474-485).
 
-Layout notes (measured on v5e):
+Layout notes (measured on TPU):
   * data is fed TRANSPOSED, (d, B) blocks: with d << 128 the natural (B, d)
-    layout pads the lane dimension 128/d-fold and halves throughput;
+    layout pads the lane dimension 128/d-fold (a (32768, 2) f32 block would
+    occupy 16 MB of VMEM instead of 256 KB);
+  * everything stays in (K, B) orientation — K on sublanes, points on
+    lanes. logp = h @ xt is the native matmul form (contraction over d),
+    and the stat reductions resp @ stripe^T contract over the lane axis of
+    both operands (the "NT" form Mosaic lowers without transposes). The
+    previous (B, K) orientation forced a B-lanes->sublanes rotation per
+    dot_general and padded K 50->128 on every VPU op — 2.8x slower;
   * the quadratic features are processed as d unrolled column stripes
     (Mosaic cannot reshape (B, d, d) -> (B, d^2));
-  * all contractions are dot_general over the B axis — no transposes
-    inside the kernel.
+  * softmax reduction runs over the sublane (K) axis; with K <= 128 the
+    padding waste is K -> ceil8(K), not K -> 128.
 
 ELBO: sum_n lse_n equals the data + gating-label + label-entropy terms of
 the mixture ELBO for BOTH Dirichlet and stick-breaking gating (the TSB
@@ -37,8 +44,11 @@ from mimo_tpu.distributions.niw import NIW, GaussStats
 from mimo_tpu.ops.estep import _estep_nat, EStepResult
 
 
-def _dn(ca, cb):
-    return (((ca,), (cb,)), ((), ()))
+def _nt(a, b):
+    """dot_general contracting the last (lane) axis of both operands:
+    (M, B) x (N, B) -> (M, N)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _estep_kernel(x_ref, h1_ref, h2_ref, c_ref,
@@ -55,33 +65,32 @@ def _estep_kernel(x_ref, h1_ref, h2_ref, c_ref,
     xt = x_ref[:]                                    # (d, B)
     d, b = xt.shape
 
-    logp = jax.lax.dot_general(xt, h1_ref[:], _dn(0, 1),
-                               preferred_element_type=jnp.float32) \
-        + c_ref[:]                                   # (B, K)
-    for j in range(d):
-        t_j = xt * xt[j:j + 1, :]                    # (d, B)
-        logp += jax.lax.dot_general(t_j, h2_ref[:, j * d:(j + 1) * d],
-                                    _dn(0, 1),
-                                    preferred_element_type=jnp.float32)
+    # quadratic-feature stripes, reused by logp and the stat reduction
+    stripes = [xt * xt[j:j + 1, :] for j in range(d)]    # d x (d, B)
 
-    m = jnp.max(logp, axis=-1, keepdims=True)
-    ex = jnp.exp(logp - m)
-    denom = jnp.sum(ex, axis=-1, keepdims=True)
-    lse = m + jnp.log(denom)                         # (B, 1)
-    resp = ex / denom                                # (B, K)
-
-    s1_ref[:] += jax.lax.dot_general(resp, xt, _dn(0, 1),
-                                     preferred_element_type=jnp.float32)
+    # logp (K, B): native matmul orientation, contraction over d
+    logp = jnp.dot(h1_ref[:], xt,
+                   preferred_element_type=jnp.float32) + c_ref[:]
     for j in range(d):
-        t_j = xt * xt[j:j + 1, :]
-        sxx_ref[:, j * d:(j + 1) * d] += jax.lax.dot_general(
-            resp, t_j, _dn(0, 1), preferred_element_type=jnp.float32)
-    cnt_ref[:] += jnp.sum(resp, axis=0, keepdims=True)
+        logp += jnp.dot(h2_ref[:, j * d:(j + 1) * d], stripes[j],
+                        preferred_element_type=jnp.float32)
+
+    m = jnp.max(logp, axis=0, keepdims=True)         # (1, B)
+    ex = jnp.exp(logp - m)                           # (K, B)
+    denom = jnp.sum(ex, axis=0, keepdims=True)       # (1, B)
+    lse = m + jnp.log(denom)
+    resp = ex / denom                                # (K, B)
+
+    s1_ref[:] += _nt(resp, xt)                       # (K, d)
+    for j in range(d):
+        sxx_ref[:, j * d:(j + 1) * d] += _nt(resp, stripes[j])
+    cnt_ref[:] += jnp.sum(resp, axis=1, keepdims=True)     # (K, 1)
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 
 def _estep_pallas_xt(xt, h1, h2f, c2, block_size):
-    """Kernel launcher on pre-transposed data xt (d, N), float32."""
+    """Kernel launcher on pre-transposed data xt (d, N), float32.
+    c2 arrives (K, 1) so it broadcasts over the lane (point) axis."""
     d, n = xt.shape
     k = h1.shape[0]
     grid = n // block_size
@@ -94,19 +103,19 @@ def _estep_pallas_xt(xt, h1, h2f, c2, block_size):
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((k, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -123,8 +132,8 @@ def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768):
     h1, h2, c = _estep_nat(post, log_pi)
     s1, sxx, cnt, lse = _estep_pallas_xt(
         xt, h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),
-        c.reshape(1, k).astype(jnp.float32), block_size)
-    counts = cnt[0]
+        c.reshape(k, 1).astype(jnp.float32), block_size)
+    counts = cnt[:, 0]
     stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
     return EStepResult(stats=stats, lse=lse[0, 0], counts=counts)
 
