@@ -85,15 +85,16 @@ def make_dataset(name, n, rng, cmb_path=CMB_DEFAULT):
 
 
 # per-dataset hyperparameters, following the reference drivers' argparse
-# defaults (nb_models/alpha per evaluate_*.py)
+# defaults (nb_models/alpha per evaluate_*.py); small datasets use the
+# full-batch VI engine inside the super-iterations
 PRESETS = {
-    'sine': dict(n=2000, k=50, alpha=5.0),
-    'sinc': dict(n=2500, k=50, alpha=5.0),
-    'step': dict(n=160, k=10, alpha=1.0),
-    'step_poly': dict(n=160, k=10, alpha=1.0),
-    'chirp': dict(n=1500, k=50, alpha=5.0),
-    'inverse': dict(n=200, k=10, alpha=1.0),
-    'cmb': dict(n=696, k=25, alpha=3.0),
+    'sine': dict(n=2000, k=50, alpha=5.0, engine='svi'),
+    'sinc': dict(n=2500, k=50, alpha=5.0, engine='svi'),
+    'step': dict(n=160, k=10, alpha=1.0, engine='vi'),
+    'step_poly': dict(n=160, k=10, alpha=1.0, engine='vi'),
+    'chirp': dict(n=1500, k=50, alpha=5.0, engine='vi'),
+    'inverse': dict(n=200, k=10, alpha=1.0, engine='vi'),
+    'cmb': dict(n=696, k=25, alpha=3.0, engine='vi'),
 }
 
 
@@ -138,9 +139,10 @@ def main():
         train = TrainConfig(super_iters=args.super_iters,
                             gibbs_iters=args.gibbs_iters,
                             svi_iters=args.svi_iters,
+                            vi_iters=args.svi_iters,
                             svi_step_size=args.svi_stepsize,
                             svi_batch_size=min(args.svi_batchsize, n),
-                            seed=args.seed)
+                            seed=args.seed, engine=preset['engine'])
         model, state = flagship_fit(model, (x, yj), train)
 
         mu, var, std, nlpd = model.predict(state, x, yj,

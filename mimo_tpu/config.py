@@ -82,18 +82,27 @@ class TrainConfig:
     prediction: str = 'average'      # --prediction: 'average' | 'mode'
     tol: float = 1e-2                # --earlystop
     seed: int = 1337
+    engine: str = 'svi'              # 'svi' (evaluate_sine.py) | 'vi'
+                                     # (full-batch; better for small N)
 
 
 def flagship_fit(model, data, cfg: TrainConfig):
-    """Gibbs init, then super-iterations of SVI with re-anchoring
+    """Gibbs init, then super-iterations of SVI (or full-batch VI) with
+    prior<-posterior re-anchoring, all warm-started
     (evaluate_sine.py:131-155). Returns (model, MFState)."""
     from mimo_tpu.models.mixture import MFState
     g = model.fit_gibbs(data, key=cfg.seed, maxiter=cfg.gibbs_iters)
     state = MFState(g.components, g.gating)
     for it in range(cfg.super_iters):
-        state, _ = model.fit_svi(
-            data, key=cfg.seed + it + 1, maxiter=cfg.svi_iters,
-            step_size=cfg.svi_step_size, batch_size=cfg.svi_batch_size,
-            init_state=state)
+        if cfg.engine == 'vi':
+            state, _ = model.fit_vi(
+                data, key=cfg.seed + it + 1, maxiter=cfg.vi_iters,
+                init_state=state, randomize=False)
+        else:
+            state, _ = model.fit_svi(
+                data, key=cfg.seed + it + 1, maxiter=cfg.svi_iters,
+                step_size=cfg.svi_step_size,
+                batch_size=cfg.svi_batch_size,
+                init_state=state, randomize=False)
         model = model.with_priors(state)
     return model, state

@@ -49,6 +49,10 @@ class Family(NamedTuple):
     # update+sample (hierarchical inner-Gibbs chains, bayesian.py:623-659):
     # (key, prior, stats) -> (posterior, params)
     gibbs_update: Any = None
+    # Optional weighted maximum-likelihood update (stats) -> params, for
+    # the likelihood-only EM engine (reference max_likelihood contract,
+    # gmm.py:77-103, ilr.py:82-86). None = EM unsupported for this family.
+    ml_update: Any = None
 
 
 def gaussian_family() -> Family:
@@ -65,6 +69,7 @@ def gaussian_family() -> Family:
         mean_params=_niw.mean_params,
         log_predictive=lambda post, data: _niw.log_predictive_studentt(post, data[0]),
         log_predictive_gaussian=lambda post, data: _niw.log_predictive_gaussian(post, data[0]),
+        ml_update=_niw.ml_params,
     )
 
 
@@ -82,6 +87,7 @@ def diag_gaussian_family() -> Family:
         mean_params=_ng.mean_params,
         log_predictive=lambda post, data: _ng.log_predictive_studentt(post, data[0]),
         log_predictive_gaussian=lambda post, data: _ng.log_predictive_gaussian(post, data[0]),
+        ml_update=_ng.ml_params,
     )
 
 
@@ -105,6 +111,7 @@ def linear_family(affine: bool = True) -> Family:
             post, aug(data[0]), data[1]),
         log_predictive_gaussian=lambda post, data: _mnw.log_predictive_gaussian(
             post, aug(data[0]), data[1]),
+        ml_update=_mnw.ml_params,
     )
 
 
@@ -126,6 +133,7 @@ def diag_linear_family(affine: bool = True) -> Family:
             post, aug(data[0]), data[1]),
         log_predictive_gaussian=lambda post, data: _mng.log_predictive_gaussian(
             post, aug(data[0]), data[1]),
+        ml_update=_mng.ml_params,
     )
 
 
@@ -195,6 +203,10 @@ def product_family(families, data_slices) -> Family:
         log_predictive_gaussian=lambda post, data: sum(
             f.log_predictive_gaussian(q, pick(data, sl))
             for f, q, sl in zip(families, post, data_slices)),
+        ml_update=(
+            (lambda stats: tuple(f.ml_update(s)
+                                 for f, s in zip(families, stats)))
+            if all(f.ml_update is not None for f in families) else None),
     )
 
 
@@ -318,6 +330,34 @@ _POOLERS = {_niw.NIW: _pool_niw, _mnw.MNW: _pool_mnw, _ng.NG: _pool_ng,
             _mng.MNG: _pool_mng}
 
 
+def _tied_ml(stats):
+    """Pooled-scale weighted maximum likelihood: per-component means/slopes,
+    one shared covariance from the summed residual scatter
+    (TiedGaussiansWithPrecision.max_likelihood, gaussian.py:550-572;
+    TiedLinearGaussians, lingauss.py:379-398)."""
+    if isinstance(stats, _niw.GaussStats):
+        params = _niw.ml_params(stats)
+        n = jnp.maximum(stats.n1, 1e-8)
+        scatter = stats.xxT - n[..., None, None] \
+            * params.mu[..., :, None] * params.mu[..., None, :]
+        sigma = jnp.sum(scatter, axis=0, keepdims=True) / jnp.sum(n)
+        lm = jnp.linalg.inv(sigma + 1e-6 * jnp.eye(sigma.shape[-1],
+                                                   dtype=sigma.dtype))
+        return params._replace(lmbda=jnp.broadcast_to(lm,
+                                                      params.lmbda.shape))
+    if isinstance(stats, _mnw.LinGaussStats):
+        params = _mnw.ml_params(stats)
+        n = jnp.maximum(stats.n, 1e-8)
+        resid = stats.yyT - params.A @ jnp.swapaxes(stats.yxT, -1, -2)
+        sigma = jnp.sum(resid, axis=0, keepdims=True) / jnp.sum(n)
+        sigma = 0.5 * (sigma + jnp.swapaxes(sigma, -1, -2)) \
+            + 1e-6 * jnp.eye(sigma.shape[-1], dtype=sigma.dtype)
+        lm = jnp.linalg.inv(sigma)
+        return params._replace(lmbda=jnp.broadcast_to(lm,
+                                                      params.lmbda.shape))
+    raise TypeError(f'no tied ML for {type(stats).__name__}')
+
+
 def tied_family(base: Family, pooler=None) -> Family:
     """Tie the scale parameters across components: run the base update then
     pool the posterior (mirrors Tied*.nat_to_std which pools during the
@@ -331,4 +371,5 @@ def tied_family(base: Family, pooler=None) -> Family:
         update=lambda prior, stats: pool(base.update(prior, stats)),
         svi_blend=lambda post, prior, stats, scale, step: pool(
             base.svi_blend(post, prior, stats, scale, step)),
+        ml_update=_tied_ml if base.ml_update is not None else None,
     )

@@ -166,6 +166,21 @@ def mean_params(p: MNG) -> DiagLinGaussParams:
     return DiagLinGaussParams(A=p.M, lmbda_diag=p.alpha / p.beta)
 
 
+def ml_params(stats, jitter=1e-8) -> DiagLinGaussParams:
+    """Weighted diagonal-noise maximum likelihood (lingauss.py:884-903):
+    shared A solve, per-output residual variances. Collapsed components
+    get A=0, unit noise."""
+    from mimo_tpu.distributions.mnw import ml_params as _mnw_ml
+    full = _mnw_ml(stats, jitter)
+    dead = (stats.n < stats.xxT.shape[-1] + 1.0)[..., None]
+    n = jnp.maximum(stats.n, 1e-8)[..., None]
+    resid = jnp.maximum(
+        jnp.diagonal(stats.yyT - full.A @ jnp.swapaxes(stats.yxT, -1, -2),
+                     axis1=-2, axis2=-1) / n, jitter)
+    resid = jnp.where(dead, 1.0, resid)
+    return DiagLinGaussParams(A=full.A, lmbda_diag=1.0 / resid)
+
+
 def log_likelihood(params: DiagLinGaussParams, x, y):
     """log N(y | A_k x, diag(lambda_k)^{-1}) -> (N, K)."""
     pd = y.shape[-1]

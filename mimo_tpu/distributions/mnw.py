@@ -217,6 +217,25 @@ def mean_params(p: MNW) -> LinGaussParams:
     return LinGaussParams(A=p.M, lmbda=p.nu[..., None, None] * p.psi)
 
 
+def ml_params(stats: LinGaussStats, jitter=1e-6) -> LinGaussParams:
+    """Weighted maximum likelihood (lingauss.py:176-184): A solves
+    A Sxx = Syx; Sigma = (Syy - A Syx^T)/n (+ jitter I). Collapsed
+    components (count < 1e-2) get A=0, Sigma=I instead of NaNs."""
+    n = jnp.maximum(stats.n, 1e-8)
+    q = stats.xxT.shape[-1]
+    p_dim = stats.yyT.shape[-1]
+    dead = (stats.n < q + 1.0)[..., None, None]
+    xxr = jnp.where(dead, jnp.eye(q, dtype=stats.xxT.dtype),
+                    stats.xxT + jitter * jnp.eye(q, dtype=stats.xxT.dtype))
+    a = jnp.swapaxes(solve_psd(xxr, jnp.swapaxes(stats.yxT, -1, -2)), -1, -2)
+    a = jnp.where(dead, 0.0, a)
+    sigma = symmetrize(stats.yyT - a @ jnp.swapaxes(stats.yxT, -1, -2)) \
+        / n[..., None, None] \
+        + jitter * jnp.eye(p_dim, dtype=stats.yyT.dtype)
+    sigma = jnp.where(dead, jnp.eye(p_dim, dtype=sigma.dtype), sigma)
+    return LinGaussParams(A=a, lmbda=inv_psd(sigma))
+
+
 def log_likelihood(params: LinGaussParams, x, y):
     """log N(y | A_k x, Lambda_k^{-1}) -> (N, K) (lingauss.py:330-352).
 

@@ -155,6 +155,17 @@ def mean_params(p: NG) -> DiagGaussParams:
     return DiagGaussParams(mu=p.mu, lmbda_diag=p.alpha / p.beta)
 
 
+def ml_params(stats: DiagGaussStats, jitter=1e-8) -> DiagGaussParams:
+    """Weighted diagonal maximum likelihood (gaussian.py:810-830):
+    mu = s1/n, var = s2/n - mu^2. Collapsed components get N(0, I)."""
+    dead = (stats.n1 < 2.0)[..., None]
+    n = jnp.maximum(stats.n1, 1e-8)[..., None]
+    mu = jnp.where(dead, 0.0, stats.x / n)
+    var = jnp.maximum(stats.xsq / n - jnp.square(mu), jitter)
+    var = jnp.where(dead, 1.0, var)
+    return DiagGaussParams(mu=mu, lmbda_diag=1.0 / var)
+
+
 def log_likelihood(params: DiagGaussParams, x):
     return diag_mvn_logpdf(x, params.mu, params.lmbda_diag)
 

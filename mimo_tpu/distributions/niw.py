@@ -246,6 +246,25 @@ def mean_params(p: NIW) -> GaussParams:
     return GaussParams(mu=p.mu, lmbda=p.nu[..., None, None] * p.psi)
 
 
+def ml_params(stats: GaussStats, jitter=1e-6) -> GaussParams:
+    """Weighted maximum likelihood from sufficient statistics
+    (gaussian.py:525-542, vectorized over K): mu = s1/n,
+    Sigma = Sxx/n - mu mu^T (+ jitter I). Components whose effective
+    count drops below d+1 (not enough points to estimate a d x d scatter —
+    the classic EM singleton collapse) get benign standard-normal params;
+    they carry ~zero mixture weight anyway."""
+    d = stats.x.shape[-1]
+    n = jnp.maximum(stats.n1, 1e-8)
+    dead = (stats.n1 < d + 1.0)[..., None]
+    mu = jnp.where(dead, 0.0, stats.x / n[..., None])
+    sigma = symmetrize(stats.xxT / n[..., None, None]
+                       - mu[..., :, None] * mu[..., None, :]) \
+        + jitter * jnp.eye(d, dtype=mu.dtype)
+    eye = jnp.eye(d, dtype=mu.dtype)
+    sigma = jnp.where(dead[..., None], eye, sigma)
+    return GaussParams(mu=mu, lmbda=inv_psd(sigma))
+
+
 # ---------------------------------------------------------------------------
 # plug-in likelihood and posterior predictive
 # ---------------------------------------------------------------------------

@@ -228,6 +228,82 @@ class BayesianMixtureOfMixtures:
 
         return fn(run, data, key)
 
+    # -- stochastic VI (hilr.py:460-515, hgmm analogue) ---------------------
+
+    def fit_svi(self, data, key=None, maxiter=500, step_size=1e-2,
+                batch_size=128, maxsubiter=2, init_state=None,
+                randomize=True):
+        """Nested stochastic natural-gradient VI: per step, one random
+        minibatch; outer + inner responsibilities on the batch; blend of
+        inner components/gatings and the outer gating with stochastic
+        scale B/N (nat <- (1-rho) nat + rho (prior + stats/scale),
+        bayesian.py:232-238 applied at both levels)."""
+        data = self._tx_data(data)
+        key = _as_key(key)
+        n = data[0].shape[0]
+        scale = batch_size / n
+        fn = self._jit('svi', maxiter=maxiter, batch_size=batch_size,
+                       maxsubiter=maxsubiter, randomize=randomize,
+                       warm=init_state is not None)
+
+        def run(data, key, init_state):
+            m = self.cluster_size
+            if randomize or init_state is None:
+                k1, k2, key = jax.random.split(key, 3)
+                r = jax.random.uniform(k1, (n, m), dtype=data[0].dtype,
+                                       minval=1e-3, maxval=1.0)
+                outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
+                ir = jax.random.uniform(
+                    k2, (m, n, self.mixture_size), dtype=data[0].dtype,
+                    minval=1e-3, maxval=1.0)
+                inner_resp = ir / jnp.sum(ir, axis=-1, keepdims=True)
+                comps, gatings = self._inner_update(data, inner_resp,
+                                                    outer_resp)
+                state = HMixState(
+                    outer_gating=self.outer_gating_prior.update(
+                        jnp.sum(outer_resp, axis=0)),
+                    inner_gating=gatings, components=comps)
+            else:
+                state = init_state
+
+            def step(st, k):
+                k_b = jax.random.fold_in(k, 0)
+                idx = jax.random.randint(k_b, (batch_size,), 0, n)
+                batch = tuple(a[idx] for a in data)
+                outer_resp = self.expected_responsibilities(st, batch)
+
+                def sub(j, st):
+                    inner_resp = jax.nn.softmax(
+                        self._inner_elc(st, batch), axis=-1)    # (M, B, K)
+                    weighted = inner_resp * outer_resp.T[:, :, None]
+
+                    def per_cluster(prior_c, prior_g, post_c, post_g, w):
+                        stats = self.family.suff_stats(batch, w)
+                        counts = jnp.sum(w, axis=0)
+                        return (self.family.svi_blend(post_c, prior_c,
+                                                      stats, scale,
+                                                      step_size),
+                                prior_g.svi_blend(post_g, counts, scale,
+                                                  step_size))
+
+                    comps, gatings = jax.vmap(per_cluster)(
+                        self.components_prior, self.inner_gating_prior,
+                        st.components, st.inner_gating, weighted)
+                    return st._replace(components=comps,
+                                       inner_gating=gatings)
+
+                st = jax.lax.fori_loop(0, maxsubiter, sub, st)
+                outer_g = self.outer_gating_prior.svi_blend(
+                    st.outer_gating, jnp.sum(outer_resp, axis=0), scale,
+                    step_size)
+                return st._replace(outer_gating=outer_g), None
+
+            state, _ = jax.lax.scan(step, state,
+                                    jax.random.split(key, maxiter))
+            return state
+
+        return fn(run, data, key, init_state)
+
     # -- Gibbs (hgmm.py:326-361, masked instead of hard-sliced) -------------
 
     def _gibbs_sweep(self, state: HMixGibbsState, data, key, maxsubiter):
@@ -344,6 +420,12 @@ class BayesianMixtureOfMixtures:
         w = jax.nn.softmax(flat, axis=-1)
         return w.reshape(log_w.shape)
 
+    def predictive_activation(self, state: HMixState, x):
+        """Normalized two-level basis activations (hilr.py:526-539)."""
+        xx = x if self.input_transform is None \
+            else self.input_transform.transform(x)
+        return self.predictive_weights(state, xx, dist='gaussian')
+
     def predictive_moments(self, state: HMixState, x, dist='gaussian'):
         """Per-(cluster, expert) predictive mean (N, M, K, p) and
         covariance (N, M, K, p, p) (hilr.py:553-560)."""
@@ -357,7 +439,7 @@ class BayesianMixtureOfMixtures:
         return jnp.moveaxis(mus, 0, 1), jnp.moveaxis(covs, 0, 1)
 
     def predict(self, state: HMixState, x, y=None, prediction='average',
-                dist='gaussian'):
+                dist='gaussian', incremental=False):
         """Two-level posterior-predictive regression (hilr.py:573-609):
         mode picks the argmax over all M*K experts, average moment-matches
         the full two-level mixture. Returns (mean, var, std, nlpd)."""
@@ -397,6 +479,8 @@ class BayesianMixtureOfMixtures:
         if self.output_transform is not None:
             mu = self.output_transform.inverse_transform(mu)
             cov = self.output_transform.scale_cov(cov)
+        if incremental:
+            mu = mu + x[:, :mu.shape[-1]]
         var = jnp.diagonal(cov, axis1=-2, axis2=-1)
         return mu, var, jnp.sqrt(var), nlpd
 

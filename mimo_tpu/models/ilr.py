@@ -156,6 +156,12 @@ class BayesianILR(BayesianMixture):
         x, y = data
         return super().fit_gibbs((self._tx(x), self._ty(y)), **kw)
 
+    def fit_em(self, data, **kw):
+        """Likelihood-only EM (MixtureOfLinearGaussians.max_likelihood,
+        ilr.py:82-86)."""
+        x, y = data
+        return super().fit_em((self._tx(x), self._ty(y)), **kw)
+
     # -- prediction (ilr.py:325-430) ----------------------------------------
 
     def predictive_weights(self, state: MFState, x, dist='studentt'):
@@ -169,6 +175,11 @@ class BayesianILR(BayesianMixture):
         log_w = log_basis + self.predictive_log_weights(state)[None, :]
         weights, _ = normalize_log(log_w)
         return weights
+
+    def predictive_activation(self, state: MFState, x):
+        """Normalized basis activations for plotting (ilr.py:325-337):
+        Gaussian posterior-predictive basis responsibilities -> (N, K)."""
+        return self.predictive_weights(state, self._tx(x), dist='gaussian')
 
     def predictive_moments(self, state: MFState, x, dist='studentt'):
         """Per-expert predictive mean (N, K, p) and covariance
@@ -215,11 +226,13 @@ class BayesianILR(BayesianMixture):
         return fn(models_post, xa, y)
 
     def predict(self, state: MFState, x, y=None, prediction='average',
-                dist='studentt'):
+                dist='studentt', incremental=False):
         """Posterior-predictive regression (ilr.py:374-430).
 
         Returns (mean, var_diag, std, nlpd) with nlpd None unless y given.
-        Handles the optional standardization round-trip.
+        Handles the optional standardization round-trip. `incremental`
+        adds the input back onto the prediction (delta-dynamics models,
+        ilr.py:411-413).
         """
         xx = self._tx(x)
         weights = self.predictive_weights(state, xx, dist)
@@ -247,5 +260,7 @@ class BayesianILR(BayesianMixture):
             else:
                 cov = self.output_transform.scale_cov(cov)
 
+        if incremental:
+            mu = mu + x[:, :mu.shape[-1]]
         var = cov if self.diag else jnp.diagonal(cov, axis1=-2, axis2=-1)
         return mu, var, jnp.sqrt(var), nlpd

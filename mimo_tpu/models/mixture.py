@@ -123,6 +123,48 @@ class BayesianMixture:
         vlb = self.elbo(state, data, resp)
         return (state, resp), vlb
 
+    def fit_em(self, data, key=None, maxiter=250):
+        """Likelihood-only EM (the reference's max_likelihood engine,
+        gmm.py:77-103 and ilr.py:82-86): plug-in E-step + closed-form
+        weighted ML M-step, no priors involved. Returns
+        (EMState(params, log_pi), loglik trace). Requires the family to
+        provide an ml_update (all four base families and their
+        products/tied variants do; hierarchical families do not)."""
+        if self.family.ml_update is None:
+            raise NotImplementedError(
+                'this family has no maximum-likelihood update; use fit_map')
+        data = _as_tuple(data)
+        key = _as_key(key)
+        fn = self._jitted('em', maxiter=maxiter)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            # random-anchor init (sklearn-style 'random' k-means seeding):
+            # soft assignment by distance to K random data points. A flat
+            # random-resp init collapses tied/shared-scale EM onto the
+            # symmetric fixed point (all means = data mean).
+            x0 = data[0]
+            idx = jax.random.choice(key, n, (self.size,), replace=False)
+            anchors = x0[idx]                               # (K, d)
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+            d2 = jnp.sum((x0[:, None, :] - anchors[None, :, :]) ** 2, -1)
+            resp, _ = normalize_log(-0.5 * d2 / scale2)
+
+            def step(resp, _):
+                counts = jnp.sum(resp, axis=0)
+                params = self.family.ml_update(
+                    self.family.suff_stats(data, resp))
+                log_pi = jnp.log(counts / n)
+                log_p = self.log_complete_likelihood(params, log_pi, data)
+                resp, lognorm = normalize_log(log_p)
+                return resp, (EMState(params, log_pi), jnp.sum(lognorm))
+
+            _, (states, trace) = jax.lax.scan(step, resp, None,
+                                              length=maxiter)
+            return jax.tree.map(lambda a: a[-1], states), trace
+
+        return fn(run, data, key)
+
     def fit_vi(self, data, key=None, maxiter=250, init_state=None,
                randomize=True, point_weights=None):
         """Mean-field coordinate ascent. Returns (MFState, vlb_trace).

@@ -1,0 +1,119 @@
+"""Tests for the likelihood-only EM engine (reference max_likelihood,
+gmm.py:77-103, ilr.py:82-86, tied gaussian.py:550-572) and the nested
+stochastic VI of mixtures-of-mixtures (hilr.py:460-515)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimo_tpu.models.gmm import BayesianGMM
+from mimo_tpu.models.ilr import BayesianILR
+from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+from mimo_tpu.distributions.niw import GaussParams
+
+TRUE_MU = np.array([[-4., 0.], [4., 0.], [0., 5.]])
+
+
+@pytest.fixture(scope='module')
+def gmm_data():
+    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(jax.random.PRNGKey(7),
+                                GaussParams(jnp.asarray(TRUE_MU), lm),
+                                jnp.asarray([.3, .4, .3]), 3000)
+    return x.astype(jnp.float64)
+
+
+def test_em_gmm_recovers(gmm_data):
+    m = BayesianGMM.make(size=3, dim=2, dtype=jnp.float64)
+    st, ll = m.fit_em(gmm_data, key=0, maxiter=150)
+    d = np.diff(np.asarray(ll))
+    assert np.all(d > -1e-6), f'EM loglik not monotone: {d.min()}'
+    est = np.asarray(st.params.mu)
+    for t in TRUE_MU:
+        assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.3
+
+
+def test_em_tied_gmm(gmm_data):
+    """Tied EM: shared covariance across components (gaussian.py:550-572)."""
+    m = BayesianGMM.make(size=3, dim=2, tied=True, dtype=jnp.float64)
+    st, ll = m.fit_em(gmm_data, key=0, maxiter=150)
+    lm = np.asarray(st.params.lmbda)
+    np.testing.assert_allclose(lm[0], lm[1], rtol=1e-6)
+    np.testing.assert_allclose(lm[0], lm[2], rtol=1e-6)
+    # the generating covariance is 0.5 I (precision 2 I)
+    np.testing.assert_allclose(lm[0], 2.0 * np.eye(2), rtol=0.2, atol=0.1)
+
+
+def test_em_diag_gmm(gmm_data):
+    m = BayesianGMM.make(size=3, dim=2, diag=True, dtype=jnp.float64)
+    st, ll = m.fit_em(gmm_data, key=0, maxiter=150)
+    est = np.asarray(st.params.mu)
+    for t in TRUE_MU:
+        assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.3
+
+
+def test_em_ilr_sine():
+    """EM mixture of linear experts fits a sine to near the noise floor."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-6, 6, (2000, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((2000, 1)))
+    m = BayesianILR.make(size=20, input_dim=1, output_dim=1,
+                         dtype=jnp.float64)
+    m.init_transform(x, y)
+    st, ll = m.fit_em((x, y), key=1, maxiter=200)
+    assert np.isfinite(np.asarray(ll)).all()
+    assert float(ll[-1]) > float(ll[0])
+    basis_p, expert_p = st.params
+    assert np.isfinite(np.asarray(expert_p.A)).all()
+
+
+def test_em_hier_raises(gmm_data):
+    m = BayesianGMM.make(size=3, dim=2, hierarchical=True,
+                         dtype=jnp.float64)
+    with pytest.raises(NotImplementedError):
+        m.fit_em(gmm_data, key=0, maxiter=5)
+
+
+def test_hmix_svi_runs():
+    """Nested SVI keeps the two super-clusters separated."""
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 500), blob([-5, -3], 500),
+                   blob([5, 5], 500), blob([5, 3], 500)])
+    x = jnp.asarray(x[rng.permutation(2000)], jnp.float64)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=5,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    st, _ = m.fit_vi(x, key=0, maxiter=10, maxsubiter=2)
+    st = m.fit_svi(x, key=1, maxiter=100, step_size=0.3, batch_size=256,
+                   maxsubiter=2, init_state=st, randomize=False)
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    assert (lab[left] == lab[left][0]).mean() > 0.9
+    assert (lab[~left] == lab[~left][0]).mean() > 0.9
+    assert lab[left][0] != lab[~left][0]
+
+
+def test_predictive_activation_and_incremental():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-3, 3, (400, 1)), jnp.float64)
+    y = jnp.asarray(0.5 * np.asarray(x) + 0.05
+                    * rng.standard_normal((400, 1)), jnp.float64)
+    m = BayesianILR.make(size=5, input_dim=1, output_dim=1,
+                         dtype=jnp.float64)
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=0, maxiter=50)
+    act = m.predictive_activation(st, x)
+    assert act.shape == (400, 5)
+    np.testing.assert_allclose(np.asarray(act.sum(-1)), 1.0, rtol=1e-6)
+    mu, _, _, _ = m.predict(st, x)
+    mu_inc, _, _, _ = m.predict(st, x, incremental=True)
+    np.testing.assert_allclose(np.asarray(mu_inc), np.asarray(mu + x),
+                               rtol=1e-6)
