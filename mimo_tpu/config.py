@@ -91,7 +91,8 @@ def flagship_fit(model, data, cfg: TrainConfig):
     prior<-posterior re-anchoring, all warm-started
     (evaluate_sine.py:131-155). Returns (model, MFState)."""
     from mimo_tpu.models.mixture import MFState
-    g = model.fit_gibbs(data, key=cfg.seed, maxiter=cfg.gibbs_iters)
+    g = model.fit_gibbs(data, key=cfg.seed, maxiter=cfg.gibbs_iters,
+                        init_labels='random')
     state = MFState(g.components, g.gating)
     for it in range(cfg.super_iters):
         if cfg.engine == 'vi':
