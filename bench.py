@@ -64,7 +64,18 @@ def main():
     jax.block_until_ready(gs.labels)
     gibbs_rate = ITERS / (time.time() - t0)
 
-    print(f'# VI {vi_rate:.1f} iters/s | Gibbs {gibbs_rate:.1f} sweeps/s '
+    # serving: posterior-predictive density over all N points
+    pred = jax.jit(model.log_predictive)
+    lp = pred(state, (x,))
+    jax.block_until_ready(lp)
+    t0 = time.time()
+    for _ in range(10):
+        lp = pred(state, (x,))
+    jax.block_until_ready(lp)
+    serve_rate = 10 * N / (time.time() - t0)
+
+    print(f'# VI {vi_rate:.1f} iters/s | Gibbs {gibbs_rate:.1f} sweeps/s | '
+          f'predictive {serve_rate/1e6:.1f}M pts/s '
           f'(N={N}, K={K}, d={D}) | final ELBO {float(vlb[-1]):.4g}',
           file=sys.stderr)
 

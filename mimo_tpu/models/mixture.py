@@ -316,31 +316,39 @@ class BayesianMixture:
                           params=params, log_pi=log_pi, labels=labels)
 
     def fit_gibbs(self, data, key=None, maxiter=100, init_labels='prior',
-                  point_weights=None):
-        """Blocked Gibbs sampling. Returns the final GibbsState."""
+                  point_weights=None, init_state=None):
+        """Blocked Gibbs sampling. Returns the final GibbsState.
+
+        Pass a previous GibbsState as `init_state` to continue a chain
+        (checkpoint/resume; preemption recovery)."""
         data = _as_tuple(data)
         key = _as_key(key)
         fn = self._jitted('gibbs', maxiter=maxiter, init_labels=init_labels,
-                          weighted=point_weights is not None)
+                          weighted=point_weights is not None,
+                          warm=init_state is not None)
 
-        def run(data, key, point_weights):
+        def run(data, key, point_weights, init_state):
             n = data[0].shape[0]
             k_init, k_loop = jax.random.split(key)
-            if init_labels == 'random':
-                labels = jax.random.randint(k_init, (n,), 0, self.size)
-            else:  # 'prior'
-                k_pi, k_z = jax.random.split(k_init)
-                probs = self.gating_prior.sample(k_pi)
-                labels = jax.random.categorical(
-                    k_z, jnp.broadcast_to(jnp.log(jnp.clip(probs, 1e-37, None)),
-                                          (n, self.size)), axis=-1)
-            state = GibbsState(
-                components=self.components_prior,
-                gating=self.gating_prior,
-                params=self.family.mode_params(self.components_prior),
-                log_pi=jnp.log(jnp.full((self.size,), 1.0 / self.size,
-                                        data[0].dtype)),
-                labels=labels)
+            if init_state is not None:
+                state = init_state
+            else:
+                if init_labels == 'random':
+                    labels = jax.random.randint(k_init, (n,), 0, self.size)
+                else:  # 'prior'
+                    k_pi, k_z = jax.random.split(k_init)
+                    probs = self.gating_prior.sample(k_pi)
+                    labels = jax.random.categorical(
+                        k_z, jnp.broadcast_to(
+                            jnp.log(jnp.clip(probs, 1e-37, None)),
+                            (n, self.size)), axis=-1)
+                state = GibbsState(
+                    components=self.components_prior,
+                    gating=self.gating_prior,
+                    params=self.family.mode_params(self.components_prior),
+                    log_pi=jnp.log(jnp.full((self.size,), 1.0 / self.size,
+                                            data[0].dtype)),
+                    labels=labels)
 
             def step(state, k):
                 return self._gibbs_sweep(state, data, k, point_weights), None
@@ -349,7 +357,7 @@ class BayesianMixture:
             state, _ = jax.lax.scan(step, state, keys)
             return state
 
-        return fn(run, data, key, point_weights)
+        return fn(run, data, key, point_weights, init_state)
 
     # -- MAP EM (gmm.py:176-204) --------------------------------------------
 
