@@ -57,10 +57,10 @@ def main():
     jax.block_until_ready(vlb)
     vi_rate = ITERS / (time.time() - t0)
 
-    gs = model.fit_gibbs(x, key=2, maxiter=ITERS)
+    gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS)
     jax.block_until_ready(gs.labels)
     t0 = time.time()
-    gs = model.fit_gibbs(x, key=2, maxiter=ITERS)
+    gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS)
     jax.block_until_ready(gs.labels)
     gibbs_rate = ITERS / (time.time() - t0)
 
