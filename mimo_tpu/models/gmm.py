@@ -75,34 +75,36 @@ class BayesianGMM(BayesianMixture):
                              psi_scale=psi_scale, nu=nu, dtype=dtype)
         return BayesianGMM(g, c, tied=tied, maxsubiter=maxsubiter)
 
+    def _estep_spec(self):
+        from mimo_tpu.ops.family_estep import (
+            gaussian_spec, diag_gaussian_spec)
+        if isinstance(self.components_prior, NIW):
+            return gaussian_spec()
+        if isinstance(self.components_prior, NG):
+            return diag_gaussian_spec()
+        return None    # hierarchical: use fit_vi
+
     def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
                      init_state=None, randomize=True, backend='xla'):
-        """Mean-field VI with a fused blockwise E-step: the N x K
-        responsibilities are never materialized in HBM. Full-covariance
-        (NIW) components only; either gating.
-
-        backend='xla' streams blocks with `lax.scan` (ops/estep.py) — the
-        fastest path on current hardware (~1.6x the dense engine at N=1e6,
-        K=50) and free of Mosaic tiling constraints; backend='pallas' uses
-        the hand-written kernel (ops/pallas_estep.py). block_size=None
-        picks the largest divisor of N below 128k (pallas additionally
-        needs a multiple of 128).
-
-        The ELBO trace reports ELBO(state_t) exactly (lse identity), which
-        is the standard engine's trace shifted by one sweep. Returns
-        (MFState, vlb_trace)."""
+        """Mean-field VI with a fused blockwise E-step (see
+        BayesianMixture.fit_vi_fused). backend='pallas' additionally
+        offers the hand-written Mosaic kernel (ops/pallas_estep.py,
+        full-covariance components only; block_size must be a multiple of
+        128)."""
+        if backend != 'pallas':
+            return super().fit_vi_fused(
+                data, key=key, maxiter=maxiter, block_size=block_size,
+                init_state=init_state, randomize=randomize)
         from mimo_tpu.distributions.niw import NIW as _NIW
-        from mimo_tpu.ops.estep import gmm_estep_blockwise, pick_block_size
+        from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.pallas_estep import estep_from_xt
         if not isinstance(self.components_prior, _NIW):
-            raise TypeError('fused engine supports full-covariance (NIW) '
-                            'components only')
+            raise TypeError('the pallas engine supports full-covariance '
+                            '(NIW) components only')
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            block_size = pick_block_size(x.shape[0],
-                                         multiple=128 if backend == 'pallas'
-                                         else 1)
+            block_size = pick_block_size(x.shape[0], multiple=128)
         if x.shape[0] % block_size:
             raise ValueError(
                 f'N={x.shape[0]} must be a multiple of block_size='
@@ -110,8 +112,8 @@ class BayesianGMM(BayesianMixture):
                 f'weights, or the standard fit_vi')
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
-        cache_key = ('vi_fused', maxiter, block_size, randomize,
-                     init_state is not None, backend)
+        cache_key = ('vi_fused_pallas', maxiter, block_size, randomize,
+                     init_state is not None)
         if cache_key not in self._cache:
             def run(x, key, init_state):
                 from mimo_tpu.models.mixture import MFState as _MF
@@ -127,12 +129,8 @@ class BayesianGMM(BayesianMixture):
 
                 def step(state, _):
                     log_pi = state.gating.expected_log_pi()
-                    if backend == 'pallas':
-                        res = estep_from_xt(state.components, log_pi, xt,
-                                            block_size)
-                    else:
-                        res = gmm_estep_blockwise(state.components, log_pi,
-                                                  x, block_size)
+                    res = estep_from_xt(state.components, log_pi, xt,
+                                        block_size)
                     vlb = (res.lse
                            - jnp.sum(self.family.kl(state.components,
                                                     self.components_prior))

@@ -162,6 +162,20 @@ class BayesianILR(BayesianMixture):
         x, y = data
         return super().fit_em((self._tx(x), self._ty(y)), **kw)
 
+    def _estep_spec(self):
+        if self.tied_affine or self.hier_basis:
+            return None    # packed/inner-loop ells: use fit_vi
+        from mimo_tpu.ops.family_estep import ilr_spec
+        return ilr_spec(self.input_dim, self.output_dim,
+                        affine=self.affine, diag_expert=self.diag)
+
+    def fit_vi_fused(self, data, **kw):
+        """Fused blockwise VI for large-N expert mixtures (the N x K
+        responsibilities and the N x (pq + q^2 + p^2) expected-stat
+        tensors never exist; cf. the reference's fold=False hazard)."""
+        x, y = data
+        return super().fit_vi_fused((self._tx(x), self._ty(y)), **kw)
+
     # -- prediction (ilr.py:325-430) ----------------------------------------
 
     def predictive_weights(self, state: MFState, x, dist='studentt'):

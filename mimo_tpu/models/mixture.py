@@ -123,6 +123,68 @@ class BayesianMixture:
         vlb = self.elbo(state, data, resp)
         return (state, resp), vlb
 
+    def _estep_spec(self):
+        """EStepSpec for the fused engines (ops/family_estep.py); None when
+        the family's expected log-likelihood is not feature-linear (e.g.
+        hierarchical inner loops). Overridden by concrete models."""
+        return None
+
+    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
+                     init_state=None, randomize=True):
+        """Mean-field VI with the fused blockwise E-step: log-densities and
+        sufficient statistics are two matmuls per block over the family's
+        feature map; the N x K responsibilities never exist
+        (ops/family_estep.py). Works for any model whose family provides
+        an EStepSpec (GMMs incl. diag/tied, mixtures of linear experts).
+
+        The ELBO trace reports ELBO(state_t) exactly (lse identity) —
+        the standard engine's trace shifted by one sweep.
+        Returns (MFState, vlb_trace)."""
+        from mimo_tpu.ops.estep import pick_block_size
+        from mimo_tpu.ops.family_estep import fused_estep_blockwise
+        spec = self._estep_spec()
+        if spec is None:
+            raise NotImplementedError(
+                'no fused E-step spec for this family; use fit_vi')
+        data = _as_tuple(data)
+        key = _as_key(key)
+        n = data[0].shape[0]
+        if block_size is None:
+            block_size = pick_block_size(n)
+        if n % block_size:
+            raise ValueError(
+                f'N={n} must be a multiple of block_size={block_size}; '
+                f'use parallel.pad_to_multiple + point weights, or fit_vi')
+        fn = self._jitted('vi_fused', maxiter=maxiter, block_size=block_size,
+                          randomize=randomize, warm=init_state is not None)
+
+        def run(data, key, init_state):
+            if randomize or init_state is None:
+                resp = _random_resp(key, n, self.size, data[0].dtype)
+                state = self._mf_update(data, resp)
+            else:
+                state = init_state
+
+            def step(state, _):
+                log_pi = state.gating.expected_log_pi()
+                res = fused_estep_blockwise(spec, state.components, log_pi,
+                                            data, block_size)
+                vlb = (res.lse
+                       - jnp.sum(self.family.kl(state.components,
+                                                self.components_prior))
+                       - jnp.sum(state.gating.kl_divergence(
+                           self.gating_prior)))
+                new = MFState(
+                    components=self.family.update(self.components_prior,
+                                                  res.stats),
+                    gating=self.gating_prior.update(res.counts))
+                return new, vlb
+
+            state, vlb = jax.lax.scan(step, state, None, length=maxiter)
+            return state, vlb
+
+        return fn(run, data, key, init_state)
+
     def fit_em(self, data, key=None, maxiter=250):
         """Likelihood-only EM (the reference's max_likelihood engine,
         gmm.py:77-103 and ilr.py:82-86): plug-in E-step + closed-form

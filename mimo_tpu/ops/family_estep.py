@@ -1,0 +1,287 @@
+"""Generic fused mixture E-step for ANY conjugate family.
+
+Every exponential-family expected log-likelihood in this package is linear
+in a fixed feature map of the data:
+
+    E_q[log p(data | params_k)]  =  t(data) @ theta_k
+
+with t(data) of width m independent of K (for a Gaussian,
+t = [1, x, x(x)x], m = 1+d+d^2; for a linear expert,
+t = [1, y(x)xt, xt(x)xt, y(x)y]). The VI E-step for a whole mixture is
+then TWO matmuls per data block:
+
+    logp  = F @ Theta^T                      (B, K)
+    stats = ex^T @ (F / denom)               (K, m)  — softmax-normalized
+                                             FEATURES, responsibilities
+                                             never materialized
+
+where the second matmul simultaneously accumulates the sufficient
+statistics of every constituent family (the first feature column is the
+constant 1, so column 0 of the accumulator is the responsibilities' sum =
+counts). Product families (e.g. ILR experts = basis(x) x model(y|x))
+concatenate feature maps and theta blocks.
+
+This subsumes ops/estep.py's GMM-specific kernels and extends the fused
+path to mixtures of linear experts and diagonal variants (the reference's
+hot loops bayesian.py:287-301, 933-947 + gmm.py:256-259, ilr.py:191-194
+collapsed into two MXU ops).
+"""
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimo_tpu.distributions import mng as _mng
+from mimo_tpu.distributions import mnw as _mnw
+from mimo_tpu.distributions import ng as _ng
+from mimo_tpu.distributions import niw as _niw
+from mimo_tpu.distributions.mnw import augment
+from mimo_tpu.utils.stats import LOG2PI
+
+
+class EStepSpec(NamedTuple):
+    """Fused-E-step description of a conjugate family (or product)."""
+    features: Callable[[Any], jax.Array]   # data tuple -> (N, m), col 0 == 1
+    theta: Callable[[Any], jax.Array]      # posterior -> (K, m)
+    unpack: Callable[[jax.Array], Any]     # (K, m) accumulator -> stats
+
+
+class FusedEStep(NamedTuple):
+    stats: Any         # family stats struct (product: tuple of structs)
+    lse: jax.Array     # () sum_n logsumexp_k
+    counts: jax.Array  # (K,)
+
+
+def _outer(a, b):
+    n = a.shape[0]
+    return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+
+
+# -- Gaussian | NIW ----------------------------------------------------------
+
+def gaussian_spec() -> EStepSpec:
+    def features(data):
+        x = data[0]
+        n = x.shape[0]
+        return jnp.concatenate(
+            [jnp.ones((n, 1), x.dtype), x, _outer(x, x)], axis=-1)
+
+    def theta(post):
+        e_lm, e_mlm, e_l, e_logdet = _niw.expected_stats(post)
+        d = post.mu.shape[-1]
+        c = e_mlm + e_logdet - 0.5 * d * LOG2PI
+        return jnp.concatenate(
+            [c[:, None], e_lm, e_l.reshape(-1, d * d)], axis=-1)
+
+    return EStepSpec(features, theta, _unpack_gauss)
+
+
+def _unpack_gauss(acc):
+    m = acc.shape[-1]
+    # m = 1 + d + d^2  =>  d = (-1 + sqrt(1 + 4(m-1))) / 2
+    d = int((-1 + (1 + 4 * (m - 1)) ** 0.5) / 2)
+    counts = acc[:, 0]
+    return _niw.GaussStats(x=acc[:, 1:1 + d], n1=counts,
+                           xxT=acc[:, 1 + d:].reshape(-1, d, d), n2=counts)
+
+
+# -- diagonal Gaussian | NG --------------------------------------------------
+
+def diag_gaussian_spec() -> EStepSpec:
+    def features(data):
+        x = data[0]
+        n = x.shape[0]
+        return jnp.concatenate(
+            [jnp.ones((n, 1), x.dtype), x, jnp.square(x)], axis=-1)
+
+    def theta(post):
+        from jax.scipy.special import digamma
+        e_l = post.alpha / post.beta                       # (K, d)
+        e_logl = digamma(post.alpha) - jnp.log(post.beta)
+        d = post.mu.shape[-1]
+        c = 0.5 * (jnp.sum(e_logl, axis=-1) - d * LOG2PI) \
+            - 0.5 * jnp.sum(e_l * jnp.square(post.mu) + 1.0 / post.kappa,
+                            axis=-1)
+        return jnp.concatenate(
+            [c[:, None], e_l * post.mu, -0.5 * e_l], axis=-1)
+
+    def unpack(acc):
+        d = (acc.shape[-1] - 1) // 2
+        counts = acc[:, 0]
+        return _ng.DiagGaussStats(x=acc[:, 1:1 + d], n1=counts, n2=counts,
+                                  xsq=acc[:, 1 + d:])
+
+    return EStepSpec(features, theta, unpack)
+
+
+# -- linear expert | MNW -----------------------------------------------------
+
+def linear_spec(affine: bool = True, p_dim: int = None,
+                q_dim: int = None) -> EStepSpec:
+    """data = (x, y); x augmented internally when affine. p_dim/q_dim are
+    needed only by unpack and are captured from theta's posterior when
+    used through fused_estep_* (passed explicitly here for standalone
+    use)."""
+
+    def features(data):
+        xt = augment(data[0], affine)
+        y = data[1]
+        n = xt.shape[0]
+        return jnp.concatenate(
+            [jnp.ones((n, 1), xt.dtype), _outer(y, xt), _outer(xt, xt),
+             _outer(y, y)], axis=-1)
+
+    def theta(post):
+        e_la, e_ala, e_l, e_logdet = _mnw.expected_stats(post)
+        pd, qd = post.row_dim, post.col_dim
+        c = e_logdet - 0.5 * pd * LOG2PI
+        return jnp.concatenate(
+            [c[:, None], e_la.reshape(-1, pd * qd),
+             e_ala.reshape(-1, qd * qd), e_l.reshape(-1, pd * pd)], axis=-1)
+
+    def unpack(acc, p=p_dim, q=q_dim):
+        counts = acc[:, 0]
+        o1 = 1 + p * q
+        o2 = o1 + q * q
+        return _mnw.LinGaussStats(
+            yxT=acc[:, 1:o1].reshape(-1, p, q),
+            xxT=acc[:, o1:o2].reshape(-1, q, q),
+            yyT=acc[:, o2:].reshape(-1, p, p),
+            n=counts)
+
+    return EStepSpec(features, theta, unpack)
+
+
+def diag_linear_spec(affine: bool = True, p_dim: int = None,
+                     q_dim: int = None) -> EStepSpec:
+    """Diagonal-noise linear expert | MNG. Shares linear_spec's feature
+    map (full y(x)y block; E[lambda] embeds as a diagonal matrix) so the
+    accumulator unpacks to the same LinGaussStats the MNG update takes."""
+    base = linear_spec(affine, p_dim, q_dim)
+
+    def theta(post):
+        from jax.scipy.special import digamma
+        pd, qd = post.row_dim, post.col_dim
+        e_l = post.alpha / post.beta                          # (K, p)
+        e_logl = digamma(post.alpha) - jnp.log(post.beta)
+        from mimo_tpu.utils.linalg import inv_psd
+        k_inv = inv_psd(post.K_)
+        e_ala = pd * k_inv + jnp.einsum('kp,kpq,kpr->kqr', e_l, post.M,
+                                        post.M)
+        e_la = e_l[..., None] * post.M
+        e_l_mat = jax.vmap(jnp.diag)(e_l)                     # (K, p, p)
+        c = 0.5 * jnp.sum(e_logl, axis=-1) - 0.5 * pd * LOG2PI
+        return jnp.concatenate(
+            [c[:, None], e_la.reshape(-1, pd * qd),
+             -0.5 * e_ala.reshape(-1, qd * qd),
+             -0.5 * e_l_mat.reshape(-1, pd * pd)], axis=-1)
+
+    return EStepSpec(base.features, theta, base.unpack)
+
+
+# -- products (ILR: basis(x) x expert(y|x)) ----------------------------------
+
+def product_spec(specs, data_slices, widths) -> EStepSpec:
+    """Concatenate member feature maps (each member keeps its own constant
+    column; the joint constant is member 0's) and theta blocks. `widths`
+    are the member feature widths (incl. their constant col)."""
+
+    def features(data):
+        blocks = [s.features(tuple(data[i] for i in sl))
+                  for s, sl in zip(specs, data_slices)]
+        # drop duplicate constant columns beyond the first
+        blocks = [blocks[0]] + [b[:, 1:] for b in blocks[1:]]
+        return jnp.concatenate(blocks, axis=-1)
+
+    def theta(posts):
+        thetas = [s.theta(post) for s, post in zip(specs, posts)]
+        # fold the members' constant columns into the first block's
+        c_total = sum(th[:, 0] for th in thetas)
+        blocks = [jnp.concatenate([c_total[:, None], thetas[0][:, 1:]], -1)]
+        blocks += [th[:, 1:] for th in thetas[1:]]
+        return jnp.concatenate(blocks, axis=-1)
+
+    def unpack(acc):
+        counts = acc[:, 0]
+        out = []
+        off = 0
+        for i, (s, w) in enumerate(zip(specs, widths)):
+            w_eff = w if i == 0 else w - 1
+            block = acc[:, off:off + w_eff]
+            if i > 0:
+                block = jnp.concatenate([counts[:, None], block], axis=-1)
+            out.append(s.unpack(block))
+            off += w_eff
+        return tuple(out)
+
+    return EStepSpec(features, theta, unpack)
+
+
+def gauss_width(d):
+    return 1 + d + d * d
+
+
+def diag_gauss_width(d):
+    return 1 + 2 * d
+
+
+def linear_width(p, q):
+    return 1 + p * q + q * q + p * p
+
+
+def ilr_spec(input_dim, output_dim, affine=True, diag_basis=False,
+             diag_expert=False):
+    """The ILR joint family's fused spec: data = (x, y)."""
+    q = input_dim + (1 if affine else 0)
+    b = diag_gaussian_spec() if diag_basis else gaussian_spec()
+    bw = diag_gauss_width(input_dim) if diag_basis else gauss_width(input_dim)
+    e = (diag_linear_spec(affine, output_dim, q) if diag_expert
+         else linear_spec(affine, output_dim, q))
+    return product_spec(
+        (b, e), ((0,), (0, 1)),
+        (bw, linear_width(output_dim, q)))
+
+
+# -- the fused sweep ---------------------------------------------------------
+
+def fused_estep_dense(spec: EStepSpec, post, log_pi, data) -> FusedEStep:
+    """Single-shot fused E-step (all N at once)."""
+    feats = spec.features(data)
+    logp = feats @ spec.theta(post).T + log_pi[None, :]
+    m = jnp.max(logp, axis=-1)
+    ex = jnp.exp(logp - m[:, None])
+    denom = jnp.sum(ex, axis=-1)
+    lse = m + jnp.log(denom)
+    acc = ex.T @ (feats / denom[:, None])
+    stats = spec.unpack(acc)
+    return FusedEStep(stats=stats, lse=jnp.sum(lse), counts=acc[:, 0])
+
+
+def fused_estep_blockwise(spec: EStepSpec, post, log_pi, data,
+                          block_size=65536) -> FusedEStep:
+    """Streamed fused E-step: O(B*(K+m)) live memory, any family with an
+    EStepSpec. N must be a multiple of block_size."""
+    n = data[0].shape[0]
+    nb = n // block_size
+    assert nb * block_size == n, 'pad N to a multiple of block_size'
+    theta = spec.theta(post)
+    mdim = theta.shape[-1]
+    k = theta.shape[0]
+    blocks = tuple(a.reshape((nb, block_size) + a.shape[1:]) for a in data)
+
+    def body(carry, blk):
+        acc, lse_acc = carry
+        feats = spec.features(blk)
+        logp = feats @ theta.T + log_pi[None, :]
+        m = jnp.max(logp, axis=-1)
+        ex = jnp.exp(logp - m[:, None])
+        denom = jnp.sum(ex, axis=-1)
+        lse = m + jnp.log(denom)
+        acc = acc + ex.T @ (feats / denom[:, None])
+        return (acc, lse_acc + jnp.sum(lse)), None
+
+    zero = jnp.zeros((k, mdim), data[0].dtype)
+    (acc, lse), _ = jax.lax.scan(body, (zero, jnp.zeros((), data[0].dtype)),
+                                 blocks)
+    return FusedEStep(stats=spec.unpack(acc), lse=lse, counts=acc[:, 0])

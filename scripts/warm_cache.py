@@ -41,6 +41,13 @@ def main():
         x, _ = BayesianGMM.generate(key, GaussParams(mu, lm), w, n)
         m = BayesianGMM.make(size=50, dim=2, gating='dp', kappa=0.05,
                              psi_scale=0.5)
+        timed(f'gmm vi_fused n={n}',
+              lambda: m.fit_vi_fused(x, key=1, maxiter=100)[1])
+        timed(f'gmm gibbs_fused n={n}',
+              lambda: m.fit_gibbs_fused(x, key=2, maxiter=100).labels)
+        st, _ = m.fit_vi_fused(x, key=1, maxiter=100)
+        timed(f'gmm predictive n={n}',
+              lambda: jax.jit(m.log_predictive)(st, (x,)))
         timed(f'gmm vi n={n}', lambda: m.fit_vi(x, key=1, maxiter=100)[1])
         timed(f'gmm gibbs n={n}', lambda: m.fit_gibbs(x, key=2, maxiter=100).labels)
         timed(f'gmm svi n={n}', lambda: m.fit_svi(
