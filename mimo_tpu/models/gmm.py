@@ -153,32 +153,30 @@ class BayesianGMM(BayesianMixture):
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100,
                         block_size=None, backend='xla'):
-        """Blocked Gibbs with a fused blockwise label sweep: per sweep, the
-        N x K log-probs and the labels' one-hot never touch HBM.
-        backend='xla' streams blocks with `lax.scan`
-        (ops/estep.py gmm_gibbs_blockwise); backend='pallas' uses the
-        hand-written kernel with the on-core PRNG (ops/pallas_gibbs.py).
-        Full-covariance (NIW) components only. Returns the final
-        GibbsState."""
+        """Blocked Gibbs with a fused blockwise label sweep (see
+        BayesianMixture.fit_gibbs_fused). backend='pallas' additionally
+        offers the hand-written Mosaic kernel with the on-core PRNG
+        (ops/pallas_gibbs.py, full-covariance components only)."""
+        if backend != 'pallas':
+            return super().fit_gibbs_fused(data, key=key, maxiter=maxiter,
+                                           block_size=block_size)
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.models.mixture import GibbsState as _GS
-        from mimo_tpu.ops.estep import gmm_gibbs_blockwise, pick_block_size
+        from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.pallas_gibbs import (
             gibbs_labels_from_xt, gauss_plugin_nat)
         if not isinstance(self.components_prior, _NIW):
-            raise TypeError('fused engine supports full-covariance (NIW) '
-                            'components only')
+            raise TypeError('the pallas engine supports full-covariance '
+                            '(NIW) components only')
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            block_size = pick_block_size(x.shape[0],
-                                         multiple=128 if backend == 'pallas'
-                                         else 1)
+            block_size = pick_block_size(x.shape[0], multiple=128)
         if x.shape[0] % block_size:
             raise ValueError(f'N must be a multiple of {block_size}')
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
-        cache_key = ('gibbs_fused', maxiter, block_size, backend)
+        cache_key = ('gibbs_fused_pallas', maxiter, block_size)
         if cache_key not in self._cache:
             def run(x, key):
                 xt = x.astype(jnp.float32).T
@@ -192,17 +190,13 @@ class BayesianGMM(BayesianMixture):
 
                 def sweep(carry, inp):
                     comp, gating, _, _, _ = carry
-                    k_par, k_pi, k_lab, seed_bits = inp
+                    k_par, k_pi, seed_bits = inp
                     params = self.family.sample_params(k_par, comp)
                     probs = gating.sample(k_pi)
                     log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
                     nat = gauss_plugin_nat(params, log_pi)
-                    if backend == 'pallas':
-                        labels, res = gibbs_labels_from_xt(
-                            seed_bits, nat, xt, block_size)
-                    else:
-                        labels, res = gmm_gibbs_blockwise(
-                            k_lab, nat, x, block_size)
+                    labels, res = gibbs_labels_from_xt(
+                        seed_bits, nat, xt, block_size)
                     stats = jax.tree.map(lambda a: a.astype(x.dtype),
                                          res.stats)
                     comp = self.family.update(self.components_prior, stats)
@@ -210,14 +204,14 @@ class BayesianGMM(BayesianMixture):
                         res.counts.astype(x.dtype))
                     return (comp, gating, params, log_pi, labels), None
 
-                keys = jax.random.split(key, maxiter * 3).reshape(
-                    maxiter, 3, 2)
+                keys = jax.random.split(key, maxiter * 2).reshape(
+                    maxiter, 2, 2)
                 seeds = jax.random.randint(
                     jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
                     dtype=jnp.int32)
                 (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
                     sweep, (comp, gating, params0, log_pi0, labels0),
-                    (keys[:, 0], keys[:, 1], keys[:, 2], seeds))
+                    (keys[:, 0], keys[:, 1], seeds))
                 return _GS(components=comp, gating=gating, params=params,
                            log_pi=log_pi, labels=labels)
 

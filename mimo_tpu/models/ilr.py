@@ -176,6 +176,11 @@ class BayesianILR(BayesianMixture):
         x, y = data
         return super().fit_vi_fused((self._tx(x), self._ty(y)), **kw)
 
+    def fit_gibbs_fused(self, data, **kw):
+        """Fused blockwise Gibbs for large-N expert mixtures."""
+        x, y = data
+        return super().fit_gibbs_fused((self._tx(x), self._ty(y)), **kw)
+
     # -- prediction (ilr.py:325-430) ----------------------------------------
 
     def predictive_weights(self, state: MFState, x, dist='studentt'):

@@ -185,6 +185,57 @@ class BayesianMixture:
 
         return fn(run, data, key, init_state)
 
+    def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None):
+        """Blocked Gibbs with a fused blockwise label sweep: plug-in
+        log-densities and one-hot statistics are two matmuls per block
+        over the family feature map — the N x K log-probs never exist
+        (ops/family_estep.py). Works for any model whose family provides
+        an EStepSpec with plug-in natural params. Returns the final
+        GibbsState."""
+        from mimo_tpu.ops.estep import pick_block_size
+        from mimo_tpu.ops.family_estep import fused_gibbs_blockwise
+        spec = self._estep_spec()
+        if spec is None or spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused Gibbs spec for this family; use fit_gibbs')
+        data = _as_tuple(data)
+        key = _as_key(key)
+        n = data[0].shape[0]
+        if block_size is None:
+            block_size = pick_block_size(n)
+        if n % block_size:
+            raise ValueError(f'N={n} must be a multiple of {block_size}')
+        fn = self._jitted('gibbs_fused', maxiter=maxiter,
+                          block_size=block_size)
+
+        def run(data, key):
+            comp = self.components_prior
+            gating = self.gating_prior
+            params0 = self.family.mode_params(comp)
+            log_pi0 = jnp.log(jnp.full((self.size,), 1.0 / self.size,
+                                       data[0].dtype))
+            labels0 = jnp.zeros((n,), jnp.int32)
+
+            def sweep(carry, k):
+                comp, gating, _, _, _ = carry
+                k_par, k_pi, k_lab = jax.random.split(k, 3)
+                params = self.family.sample_params(k_par, comp)
+                probs = gating.sample(k_pi)
+                log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
+                labels, res = fused_gibbs_blockwise(
+                    spec, k_lab, params, log_pi, data, block_size)
+                comp = self.family.update(self.components_prior, res.stats)
+                gating = self.gating_prior.update(res.counts)
+                return (comp, gating, params, log_pi, labels), None
+
+            (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
+                sweep, (comp, gating, params0, log_pi0, labels0),
+                jax.random.split(key, maxiter))
+            return GibbsState(components=comp, gating=gating, params=params,
+                              log_pi=log_pi, labels=labels)
+
+        return fn(run, data, key)
+
     def fit_em(self, data, key=None, maxiter=250):
         """Likelihood-only EM (the reference's max_likelihood engine,
         gmm.py:77-103 and ilr.py:82-86): plug-in E-step + closed-form

@@ -43,8 +43,11 @@ from mimo_tpu.utils.stats import LOG2PI
 class EStepSpec(NamedTuple):
     """Fused-E-step description of a conjugate family (or product)."""
     features: Callable[[Any], jax.Array]   # data tuple -> (N, m), col 0 == 1
-    theta: Callable[[Any], jax.Array]      # posterior -> (K, m)
+    theta: Callable[[Any], jax.Array]      # posterior -> (K, m), E_q[nats]
     unpack: Callable[[jax.Array], Any]     # (K, m) accumulator -> stats
+    # plug-in natural params for Gibbs label sweeps:
+    # likelihood params -> (K, m) with log p(data|params_k) = t(data)·row_k
+    theta_plugin: Any = None
 
 
 class FusedEStep(NamedTuple):
@@ -74,7 +77,22 @@ def gaussian_spec() -> EStepSpec:
         return jnp.concatenate(
             [c[:, None], e_lm, e_l.reshape(-1, d * d)], axis=-1)
 
-    return EStepSpec(features, theta, _unpack_gauss)
+    def theta_plugin(params):
+        mu, lm = params.mu, params.lmbda
+        d = mu.shape[-1]
+        lmu = jnp.einsum('kde,ke->kd', lm, mu)
+        logdet = _logdet_psd(lm)
+        c = (-0.5 * jnp.einsum('kd,kd->k', mu, lmu) + 0.5 * logdet
+             - 0.5 * d * LOG2PI)
+        return jnp.concatenate(
+            [c[:, None], lmu, -0.5 * lm.reshape(-1, d * d)], axis=-1)
+
+    return EStepSpec(features, theta, _unpack_gauss, theta_plugin)
+
+
+def _logdet_psd(a):
+    from mimo_tpu.utils.linalg import logdet_psd
+    return logdet_psd(a)
 
 
 def _unpack_gauss(acc):
@@ -112,7 +130,14 @@ def diag_gaussian_spec() -> EStepSpec:
         return _ng.DiagGaussStats(x=acc[:, 1:1 + d], n1=counts, n2=counts,
                                   xsq=acc[:, 1 + d:])
 
-    return EStepSpec(features, theta, unpack)
+    def theta_plugin(params):
+        mu, l = params.mu, params.lmbda_diag
+        d = mu.shape[-1]
+        c = 0.5 * jnp.sum(jnp.log(l) - l * jnp.square(mu), axis=-1) \
+            - 0.5 * d * LOG2PI
+        return jnp.concatenate([c[:, None], l * mu, -0.5 * l], axis=-1)
+
+    return EStepSpec(features, theta, unpack, theta_plugin)
 
 
 # -- linear expert | MNW -----------------------------------------------------
@@ -150,7 +175,18 @@ def linear_spec(affine: bool = True, p_dim: int = None,
             yyT=acc[:, o2:].reshape(-1, p, p),
             n=counts)
 
-    return EStepSpec(features, theta, unpack)
+    def theta_plugin(params):
+        a, lm = params.A, params.lmbda
+        pd, qd = a.shape[-2], a.shape[-1]
+        la = lm @ a                                        # (K, p, q)
+        ala = jnp.swapaxes(a, -1, -2) @ la                 # (K, q, q)
+        c = 0.5 * _logdet_psd(lm) - 0.5 * pd * LOG2PI
+        return jnp.concatenate(
+            [c[:, None], la.reshape(-1, pd * qd),
+             -0.5 * ala.reshape(-1, qd * qd),
+             -0.5 * lm.reshape(-1, pd * pd)], axis=-1)
+
+    return EStepSpec(features, theta, unpack, theta_plugin)
 
 
 def diag_linear_spec(affine: bool = True, p_dim: int = None,
@@ -177,7 +213,19 @@ def diag_linear_spec(affine: bool = True, p_dim: int = None,
              -0.5 * e_ala.reshape(-1, qd * qd),
              -0.5 * e_l_mat.reshape(-1, pd * pd)], axis=-1)
 
-    return EStepSpec(base.features, theta, base.unpack)
+    def theta_plugin(params):
+        a, l = params.A, params.lmbda_diag               # (K,p,q), (K,p)
+        pd, qd = a.shape[-2], a.shape[-1]
+        la = l[..., None] * a                            # diag(l) A
+        ala = jnp.swapaxes(a, -1, -2) @ la
+        l_mat = jax.vmap(jnp.diag)(l)
+        c = 0.5 * jnp.sum(jnp.log(l), axis=-1) - 0.5 * pd * LOG2PI
+        return jnp.concatenate(
+            [c[:, None], la.reshape(-1, pd * qd),
+             -0.5 * ala.reshape(-1, qd * qd),
+             -0.5 * l_mat.reshape(-1, pd * pd)], axis=-1)
+
+    return EStepSpec(base.features, theta, base.unpack, theta_plugin)
 
 
 # -- products (ILR: basis(x) x expert(y|x)) ----------------------------------
@@ -215,7 +263,14 @@ def product_spec(specs, data_slices, widths) -> EStepSpec:
             off += w_eff
         return tuple(out)
 
-    return EStepSpec(features, theta, unpack)
+    def theta_plugin(params_tuple):
+        thetas = [s.theta_plugin(pp) for s, pp in zip(specs, params_tuple)]
+        c_total = sum(th[:, 0] for th in thetas)
+        blocks = [jnp.concatenate([c_total[:, None], thetas[0][:, 1:]], -1)]
+        blocks += [th[:, 1:] for th in thetas[1:]]
+        return jnp.concatenate(blocks, axis=-1)
+
+    return EStepSpec(features, theta, unpack, theta_plugin)
 
 
 def gauss_width(d):
@@ -285,3 +340,33 @@ def fused_estep_blockwise(spec: EStepSpec, post, log_pi, data,
     (acc, lse), _ = jax.lax.scan(body, (zero, jnp.zeros((), data[0].dtype)),
                                  blocks)
     return FusedEStep(stats=spec.unpack(acc), lse=lse, counts=acc[:, 0])
+
+
+def fused_gibbs_blockwise(spec: EStepSpec, key, params, log_pi, data,
+                          block_size=65536):
+    """Generic fused Gibbs label sweep: per block, plug-in log-densities
+    (one matmul over the family feature map) -> categorical labels ->
+    one-hot statistics (one matmul). Neither the N x K log-probs nor the
+    one-hot ever exist at full N. Returns (labels (N,) int32, FusedEStep
+    with lse = 0)."""
+    theta = spec.theta_plugin(params)
+    k = theta.shape[0]
+    n = data[0].shape[0]
+    nb = n // block_size
+    assert nb * block_size == n, 'pad N to a multiple of block_size'
+    blocks = tuple(a.reshape((nb, block_size) + a.shape[1:]) for a in data)
+    keys = jax.random.split(key, nb)
+
+    def body(acc, inp):
+        blk, kb = inp[:-1], inp[-1]
+        feats = spec.features(blk)
+        logp = feats @ theta.T + log_pi[None, :]
+        labels = jax.random.categorical(kb, logp, axis=-1).astype(jnp.int32)
+        oh = jax.nn.one_hot(labels, k, dtype=feats.dtype)
+        return acc + oh.T @ feats, labels
+
+    zero = jnp.zeros((k, theta.shape[-1]), data[0].dtype)
+    acc, labels = jax.lax.scan(body, zero, blocks + (keys,))
+    return labels.reshape(n), FusedEStep(
+        stats=spec.unpack(acc), lse=jnp.zeros((), data[0].dtype),
+        counts=acc[:, 0])

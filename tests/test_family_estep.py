@@ -143,3 +143,40 @@ def test_ilr_fused_equals_standard(rng):
         # integration tests (the equivalence above is this test's point)
         rmse = float(jnp.sqrt(jnp.mean((mu2 - y) ** 2)))
         assert rmse < 1.0, rmse
+
+
+def test_gmm_fused_gibbs_recovers(rng):
+    from mimo_tpu.models.gmm import BayesianGMM
+    from mimo_tpu.distributions.niw import GaussParams
+    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(
+        jax.random.PRNGKey(5),
+        GaussParams(jnp.asarray([[-4., 0.], [4., 0.], [0., 5.]]), lm),
+        jnp.asarray([.3, .4, .3]), 3000)
+    x = x.astype(jnp.float64)
+    m = BayesianGMM.make(size=6, dim=2, gating='dp', kappa=0.05,
+                         psi_scale=0.5, dtype=jnp.float64)
+    gs = m.fit_gibbs_fused(x, key=2, maxiter=100, block_size=750)
+    counts = np.bincount(np.asarray(gs.labels), minlength=6)
+    est = np.asarray(gs.components.mu)[counts > 300]
+    for t in [[-4., 0.], [4., 0.], [0., 5.]]:
+        assert np.min(np.linalg.norm(est - np.asarray(t), axis=-1)) < 0.4
+
+
+def test_ilr_fused_gibbs_recovers(rng):
+    from mimo_tpu.models.ilr import BayesianILR
+    from mimo_tpu.models.mixture import MFState
+    x = jnp.asarray(rng.uniform(-3, 3, (2000, 1)))
+    y = jnp.asarray(np.where(np.asarray(x) < 0, np.asarray(x),
+                             -np.asarray(x))
+                    + 0.1 * rng.standard_normal((2000, 1)))
+    m = BayesianILR.make(size=6, input_dim=1, output_dim=1, kappa=0.05,
+                         dtype=jnp.float64)
+    m.init_transform(x, y)
+    gs = m.fit_gibbs_fused((x, y), key=0, maxiter=100, block_size=500)
+    st, _ = m.fit_vi((x, y), key=1, maxiter=200,
+                     init_state=MFState(gs.components, gs.gating),
+                     randomize=False)
+    mu, _, _, _ = m.predict(st, x, y)
+    rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
+    assert rmse < 0.2, rmse
