@@ -41,6 +41,13 @@ class HMixGibbsState(NamedTuple):
     labels: jax.Array       # (N,) outer cluster labels
 
 
+class HMixEMState(NamedTuple):
+    """Likelihood-only (ML) nested-mixture state (hgmm.py:16, hilr.py:18)."""
+    params: Any                 # (M, K, ...) likelihood params
+    inner_log_pi: jax.Array     # (M, K)
+    outer_log_pi: jax.Array     # (M,)
+
+
 class BayesianMixtureOfMixtures:
     """Outer gating over M clusters; each cluster an inner conjugate
     mixture over K components (same family across clusters)."""
@@ -225,6 +232,116 @@ class BayesianMixtureOfMixtures:
 
             state, trace = jax.lax.scan(step, state, None, length=maxiter)
             return state, trace
+
+        return fn(run, data, key)
+
+    # -- likelihood-only EM (hgmm.py:59-88, hilr.py:39-78) ------------------
+
+    def _em_inner_loglik(self, state: HMixEMState, data):
+        """(M, N, K): plug-in inner complete log-likelihood."""
+        def per_cluster(params, log_pi):
+            return self.family.loglik(params, data) + log_pi[None, :]
+        return jax.vmap(per_cluster)(state.params, state.inner_log_pi)
+
+    def cluster_log_likelihood(self, state: HMixEMState, data):
+        """(N, M): marginal inner log-likelihood per cluster under plug-in
+        parameters (hgmm.py:47-52 log_complete_likelihood)."""
+        data = self._tx_data(data)
+        return logsumexp(self._em_inner_loglik(state, data), axis=-1).T
+
+    def log_likelihood(self, state: HMixEMState, data):
+        """(N,): marginal log-likelihood (hgmm.py:42-44)."""
+        return logsumexp(self.cluster_log_likelihood(state, data)
+                         + state.outer_log_pi[None, :], axis=-1)
+
+    def responsibilities(self, state: HMixEMState, data):
+        """(N, M) outer responsibilities under plug-in params
+        (hgmm.py:54-57)."""
+        log_p = (self.cluster_log_likelihood(state, data)
+                 + state.outer_log_pi[None, :])
+        resp, _ = normalize_log(log_p)
+        return resp
+
+    def fit_em(self, data, key=None, maxiter=100, maxsubiter=5):
+        """Nested likelihood-only EM (the reference's
+        MixtureOfMixtureOfGaussians.max_likelihood, hgmm.py:59-88, and its
+        ILR analogue hilr.py:39-78): outer E-step over clusters, then per
+        cluster `maxsubiter` weighted inner EM iterations (the reference
+        calls components[m].max_likelihood(weights=resp[m]) — here all M
+        clusters run vmapped at once). Requires the family to provide an
+        ml_update (hierarchical families don't; build with
+        hierarchical=False). Returns (HMixEMState, loglik trace)."""
+        if self.family.ml_update is None:
+            raise NotImplementedError(
+                'this family has no maximum-likelihood update; build the '
+                'model with hierarchical=False or use fit_vi/fit_gibbs')
+        data = self._tx_data(data)
+        key = _as_key(key)
+        fn = self._jit('em', maxiter=maxiter, maxsubiter=maxsubiter)
+
+        def m_step(inner_resp, outer_resp):
+            """Weighted ML for all clusters: params + inner mixing."""
+            weighted = inner_resp * outer_resp.T[:, :, None]    # (M, N, K)
+
+            def per_cluster(w):
+                params = self.family.ml_update(
+                    self.family.suff_stats(data, w))
+                counts = jnp.sum(w, axis=0)
+                log_pi = jnp.log(jnp.clip(
+                    counts / jnp.clip(jnp.sum(counts), 1e-37, None),
+                    1e-37, None))
+                return params, log_pi
+
+            return jax.vmap(per_cluster)(weighted)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            m, kk = self.cluster_size, self.mixture_size
+            # anchor-seeded responsibilities at BOTH levels (sklearn-style
+            # 'random' k-means seeding, as in BayesianMixture.fit_em): the
+            # reference's flat-random outer init (hgmm.py:63-65) relies on
+            # each sub-model randomizing independently to break symmetry;
+            # with vmapped inner updates a flat init is an exact symmetric
+            # fixed point, so seed by distance to random data points.
+            x0 = data[0]
+            idx = jax.random.choice(key, n, (m, kk), replace=False)
+            anchors = x0[idx]                                   # (M, K, d)
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+            d2 = jnp.sum((x0[None, :, None, :]
+                          - anchors[:, None, :, :]) ** 2, axis=-1)
+            inner_resp = jax.nn.softmax(-0.5 * d2 / scale2, axis=-1)
+            # outer resp from the same anchors: best-matching anchor in
+            # each cluster
+            outer_resp = jax.nn.softmax(
+                -0.5 * jnp.min(d2, axis=-1).T / scale2, axis=-1)  # (N, M)
+
+            def step(carry, _):
+                inner_resp, outer_resp = carry
+
+                def sub(j, ir):
+                    params, ilp = m_step(ir, outer_resp)
+                    elc = (jax.vmap(lambda p:
+                                    self.family.loglik(p, data))(params)
+                           + ilp[:, None, :])
+                    return jax.nn.softmax(elc, axis=-1)
+
+                inner_resp = jax.lax.fori_loop(0, maxsubiter, sub,
+                                               inner_resp)
+                params, inner_log_pi = m_step(inner_resp, outer_resp)
+                outer_counts = jnp.sum(outer_resp, axis=0)
+                outer_log_pi = jnp.log(jnp.clip(outer_counts / n,
+                                                1e-37, None))
+                state = HMixEMState(params, inner_log_pi, outer_log_pi)
+                log_p = (logsumexp(self._em_inner_loglik(state, data),
+                                   axis=-1).T
+                         + outer_log_pi[None, :])
+                outer_resp, lognorm = normalize_log(log_p)
+                return (inner_resp, outer_resp), (state,
+                                                  jnp.sum(lognorm))
+
+            (_, _), (states, trace) = jax.lax.scan(
+                step, (inner_resp, outer_resp), None, length=maxiter)
+            return jax.tree.map(lambda a: a[-1], states), trace
 
         return fn(run, data, key)
 

@@ -163,3 +163,48 @@ def test_mixture_of_mixtures_log_predictive(nested_data):
         st, jnp.full((5, 2), 50.0, jnp.float64)))
     assert np.isfinite(lp_in).all()
     assert lp_in.mean() > lp_out.max() + 10
+
+
+def test_mixture_of_mixtures_em(nested_data):
+    """Likelihood-only nested EM (hgmm.py:59-88): monotone loglik trace
+    and recovery of the two super-clusters via plug-in responsibilities."""
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, dtype=jnp.float64)
+    # best-of-N restarts by final loglik — the reference's own recipe for
+    # EM local optima (examples/gmm/sine/svi_gmm.py:57-67 best-of-5)
+    fits = [m.fit_em(x, key=s, maxiter=60, maxsubiter=4)
+            for s in range(4)]
+    st, tr = max(fits, key=lambda f: float(f[1][-1]))
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all()
+    assert tr[-1] > tr[0]
+    # trace is near-monotone after the first sweeps (EM guarantees
+    # monotonicity per fixed outer resp; the nested schedule may wiggle)
+    assert tr[-1] >= tr[10:].min() - 1e-6
+    resp = m.responsibilities(st, x)
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 800 and r_major[1] > 800
+    # marginal log-likelihood agrees with the trace's final value
+    ll = float(m.log_likelihood(st, x).sum())
+    np.testing.assert_allclose(ll, tr[-1], rtol=1e-6)
+
+
+def test_mixture_of_mixtures_em_ilr():
+    """Nested likelihood-only EM for the ILR variant (hilr.py:39-78)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-2, 2, (800, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x) * 3)
+                    + 0.1 * rng.standard_normal((800, 1)))
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=4, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    st, tr = m.fit_em((x, y), key=0, maxiter=40, maxsubiter=3)
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all()
+    assert tr[-1] > tr[0]
