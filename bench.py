@@ -52,17 +52,21 @@ def main():
     jax.block_until_ready(vlb)
     assert bool(jnp.isfinite(vlb[-1])), 'non-finite ELBO'
 
-    t0 = time.time()
-    state, vlb = model.fit_vi_fused(x, key=1, maxiter=ITERS)
-    jax.block_until_ready(vlb)
-    vi_rate = ITERS / (time.time() - t0)
+    vi_rate = 0.0
+    for _ in range(3):                    # best-of-3: tunnel/runtime jitter
+        t0 = time.time()
+        state, vlb = model.fit_vi_fused(x, key=1, maxiter=ITERS)
+        jax.block_until_ready(vlb)
+        vi_rate = max(vi_rate, ITERS / (time.time() - t0))
 
     gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS)
     jax.block_until_ready(gs.labels)
-    t0 = time.time()
-    gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS)
-    jax.block_until_ready(gs.labels)
-    gibbs_rate = ITERS / (time.time() - t0)
+    gibbs_rate = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS)
+        jax.block_until_ready(gs.labels)
+        gibbs_rate = max(gibbs_rate, ITERS / (time.time() - t0))
 
     # serving: posterior-predictive density over all N points
     pred = jax.jit(model.log_predictive)

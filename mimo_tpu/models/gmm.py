@@ -85,7 +85,8 @@ class BayesianGMM(BayesianMixture):
         return None    # hierarchical: use fit_vi
 
     def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
-                     init_state=None, randomize=True, backend='xla'):
+                     init_state=None, randomize=True, backend='xla',
+                     mesh=None):
         """Mean-field VI with a fused blockwise E-step (see
         BayesianMixture.fit_vi_fused). backend='pallas' additionally
         offers the hand-written Mosaic kernel (ops/pallas_estep.py,
@@ -94,7 +95,11 @@ class BayesianGMM(BayesianMixture):
         if backend != 'pallas':
             return super().fit_vi_fused(
                 data, key=key, maxiter=maxiter, block_size=block_size,
-                init_state=init_state, randomize=randomize)
+                init_state=init_state, randomize=randomize, mesh=mesh)
+        if mesh is not None:
+            raise NotImplementedError(
+                "backend='pallas' is single-chip; use backend='xla' with "
+                'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.pallas_estep import estep_from_xt
@@ -152,14 +157,18 @@ class BayesianGMM(BayesianMixture):
         return self._cache[cache_key](x, key, init_state)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100,
-                        block_size=None, backend='xla'):
+                        block_size=None, backend='xla', mesh=None):
         """Blocked Gibbs with a fused blockwise label sweep (see
         BayesianMixture.fit_gibbs_fused). backend='pallas' additionally
         offers the hand-written Mosaic kernel with the on-core PRNG
         (ops/pallas_gibbs.py, full-covariance components only)."""
         if backend != 'pallas':
             return super().fit_gibbs_fused(data, key=key, maxiter=maxiter,
-                                           block_size=block_size)
+                                           block_size=block_size, mesh=mesh)
+        if mesh is not None:
+            raise NotImplementedError(
+                "backend='pallas' is single-chip; use backend='xla' with "
+                'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.models.mixture import GibbsState as _GS
         from mimo_tpu.ops.estep import pick_block_size

@@ -130,18 +130,25 @@ class BayesianMixture:
         return None
 
     def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
-                     init_state=None, randomize=True):
+                     init_state=None, randomize=True, mesh=None):
         """Mean-field VI with the fused blockwise E-step: log-densities and
         sufficient statistics are two matmuls per block over the family's
         feature map; the N x K responsibilities never exist
         (ops/family_estep.py). Works for any model whose family provides
         an EStepSpec (GMMs incl. diag/tied, mixtures of linear experts).
 
+        With `mesh` (a ('chain','data') mesh from parallel.make_mesh), the
+        E-step runs under shard_map: each device scans its local shard's
+        blocks and the (K, m) stats accumulator is psum'd over the 'data'
+        axis — the multi-chip hot path. Data should be sharded with
+        parallel.shard_data (per-device rows a multiple of block_size).
+
         The ELBO trace reports ELBO(state_t) exactly (lse identity) —
         the standard engine's trace shifted by one sweep.
         Returns (MFState, vlb_trace)."""
         from mimo_tpu.ops.estep import pick_block_size
-        from mimo_tpu.ops.family_estep import fused_estep_blockwise
+        from mimo_tpu.ops.family_estep import (
+            fused_estep_blockwise, fused_estep_sharded)
         spec = self._estep_spec()
         if spec is None:
             raise NotImplementedError(
@@ -149,14 +156,17 @@ class BayesianMixture:
         data = _as_tuple(data)
         key = _as_key(key)
         n = data[0].shape[0]
+        local_n = n if mesh is None else n // mesh.shape['data']
         if block_size is None:
-            block_size = pick_block_size(n)
-        if n % block_size:
+            block_size = pick_block_size(local_n)
+        if local_n % block_size:
             raise ValueError(
-                f'N={n} must be a multiple of block_size={block_size}; '
-                f'use parallel.pad_to_multiple + point weights, or fit_vi')
+                f'per-device N={local_n} must be a multiple of block_size='
+                f'{block_size}; use parallel.pad_to_multiple + point '
+                f'weights, or fit_vi')
         fn = self._jitted('vi_fused', maxiter=maxiter, block_size=block_size,
-                          randomize=randomize, warm=init_state is not None)
+                          randomize=randomize, warm=init_state is not None,
+                          mesh=mesh)
 
         def run(data, key, init_state):
             if randomize or init_state is None:
@@ -167,8 +177,13 @@ class BayesianMixture:
 
             def step(state, _):
                 log_pi = state.gating.expected_log_pi()
-                res = fused_estep_blockwise(spec, state.components, log_pi,
-                                            data, block_size)
+                if mesh is None:
+                    res = fused_estep_blockwise(spec, state.components,
+                                                log_pi, data, block_size)
+                else:
+                    res = fused_estep_sharded(spec, state.components,
+                                              log_pi, data, block_size,
+                                              mesh)
                 vlb = (res.lse
                        - jnp.sum(self.family.kl(state.components,
                                                 self.components_prior))
@@ -185,15 +200,22 @@ class BayesianMixture:
 
         return fn(run, data, key, init_state)
 
-    def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None):
+    def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
+                        mesh=None):
         """Blocked Gibbs with a fused blockwise label sweep: plug-in
         log-densities and one-hot statistics are two matmuls per block
         over the family feature map — the N x K log-probs never exist
         (ops/family_estep.py). Works for any model whose family provides
         an EStepSpec with plug-in natural params. Returns the final
-        GibbsState."""
+        GibbsState.
+
+        With `mesh`, the label sweep runs under shard_map over the 'data'
+        axis: labels stay device-local, the (K, m) one-hot statistics
+        accumulator is psum'd, and each device samples from its own folded
+        PRNG stream (see ops/family_estep.fused_gibbs_sharded)."""
         from mimo_tpu.ops.estep import pick_block_size
-        from mimo_tpu.ops.family_estep import fused_gibbs_blockwise
+        from mimo_tpu.ops.family_estep import (
+            fused_gibbs_blockwise, fused_gibbs_sharded)
         spec = self._estep_spec()
         if spec is None or spec.theta_plugin is None:
             raise NotImplementedError(
@@ -201,12 +223,14 @@ class BayesianMixture:
         data = _as_tuple(data)
         key = _as_key(key)
         n = data[0].shape[0]
+        local_n = n if mesh is None else n // mesh.shape['data']
         if block_size is None:
-            block_size = pick_block_size(n)
-        if n % block_size:
-            raise ValueError(f'N={n} must be a multiple of {block_size}')
+            block_size = pick_block_size(local_n)
+        if local_n % block_size:
+            raise ValueError(
+                f'per-device N={local_n} must be a multiple of {block_size}')
         fn = self._jitted('gibbs_fused', maxiter=maxiter,
-                          block_size=block_size)
+                          block_size=block_size, mesh=mesh)
 
         def run(data, key):
             comp = self.components_prior
@@ -222,8 +246,12 @@ class BayesianMixture:
                 params = self.family.sample_params(k_par, comp)
                 probs = gating.sample(k_pi)
                 log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
-                labels, res = fused_gibbs_blockwise(
-                    spec, k_lab, params, log_pi, data, block_size)
+                if mesh is None:
+                    labels, res = fused_gibbs_blockwise(
+                        spec, k_lab, params, log_pi, data, block_size)
+                else:
+                    labels, res = fused_gibbs_sharded(
+                        spec, k_lab, params, log_pi, data, block_size, mesh)
                 comp = self.family.update(self.components_prior, res.stats)
                 gating = self.gating_prior.update(res.counts)
                 return (comp, gating, params, log_pi, labels), None

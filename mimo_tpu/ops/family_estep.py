@@ -342,6 +342,109 @@ def fused_estep_blockwise(spec: EStepSpec, post, log_pi, data,
     return FusedEStep(stats=spec.unpack(acc), lse=lse, counts=acc[:, 0])
 
 
+def fused_estep_sharded(spec: EStepSpec, post, log_pi, data, block_size,
+                        mesh, axis='data') -> FusedEStep:
+    """Multi-chip fused E-step via shard_map over the mesh's data axis:
+    every device scans its LOCAL shard's blocks (same two-matmul body as
+    fused_estep_blockwise), then one psum of the (K, m) accumulator + lse
+    rides ICI/DCN. The collective payload is K*m floats, independent of N
+    — the scaling-book recipe for statistics that are additive over data
+    (SURVEY.md §5 'long-context analogue').
+
+    data arrays must be sharded (or shardable) over `axis` with per-device
+    rows a multiple of block_size."""
+    from jax.sharding import PartitionSpec as P
+
+    theta = spec.theta(post)
+    mdim, k = theta.shape[-1], theta.shape[0]
+    n_shards = mesh.shape[axis]
+    n = data[0].shape[0]
+    local_n = n // n_shards
+    assert local_n * n_shards == n, 'pad N to a multiple of the mesh size'
+    assert local_n % block_size == 0, \
+        f'per-device N={local_n} must be a multiple of block_size'
+
+    data_specs = tuple(P(axis) for _ in data)
+
+    def local(theta, log_pi, *shard):
+        nb = local_n // block_size
+        blocks = tuple(a.reshape((nb, block_size) + a.shape[1:])
+                       for a in shard)
+
+        def body(carry, blk):
+            acc, lse_acc = carry
+            feats = spec.features(blk)
+            logp = feats @ theta.T + log_pi[None, :]
+            m = jnp.max(logp, axis=-1)
+            ex = jnp.exp(logp - m[:, None])
+            denom = jnp.sum(ex, axis=-1)
+            lse = m + jnp.log(denom)
+            acc = acc + ex.T @ (feats / denom[:, None])
+            return (acc, lse_acc + jnp.sum(lse)), None
+
+        # the carry is device-varying (each device accumulates its own
+        # shard), so mark the zero init as varying over the mesh axis
+        zero = jax.lax.pcast(jnp.zeros((k, mdim), shard[0].dtype),
+                             (axis,), to='varying')
+        zlse = jax.lax.pcast(jnp.zeros((), shard[0].dtype),
+                             (axis,), to='varying')
+        (acc, lse), _ = jax.lax.scan(body, (zero, zlse), blocks)
+        return jax.lax.psum(acc, axis), jax.lax.psum(lse, axis)
+
+    acc, lse = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()) + data_specs,
+        out_specs=(P(), P()))(theta, log_pi, *data)
+    return FusedEStep(stats=spec.unpack(acc), lse=lse, counts=acc[:, 0])
+
+
+def fused_gibbs_sharded(spec: EStepSpec, key, params, log_pi, data,
+                        block_size, mesh, axis='data'):
+    """Multi-chip fused Gibbs label sweep: labels stay device-local
+    (sharded over `axis`), the one-hot statistics accumulator is psum'd.
+    Per-device PRNG streams are derived by folding the device's axis
+    index into the sweep key."""
+    from jax.sharding import PartitionSpec as P
+
+    theta = spec.theta_plugin(params)
+    mdim, k = theta.shape[-1], theta.shape[0]
+    n_shards = mesh.shape[axis]
+    n = data[0].shape[0]
+    local_n = n // n_shards
+    assert local_n * n_shards == n, 'pad N to a multiple of the mesh size'
+    assert local_n % block_size == 0, \
+        f'per-device N={local_n} must be a multiple of block_size'
+
+    data_specs = tuple(P(axis) for _ in data)
+
+    def local(theta, log_pi, key, *shard):
+        nb = local_n // block_size
+        blocks = tuple(a.reshape((nb, block_size) + a.shape[1:])
+                       for a in shard)
+        keys = jax.random.split(
+            jax.random.fold_in(key, jax.lax.axis_index(axis)), nb)
+
+        def body(acc, inp):
+            blk, kb = inp[:-1], inp[-1]
+            feats = spec.features(blk)
+            logp = feats @ theta.T + log_pi[None, :]
+            labels = jax.random.categorical(kb, logp,
+                                            axis=-1).astype(jnp.int32)
+            oh = jax.nn.one_hot(labels, k, dtype=feats.dtype)
+            return acc + oh.T @ feats, labels
+
+        zero = jax.lax.pcast(jnp.zeros((k, mdim), shard[0].dtype),
+                             (axis,), to='varying')
+        acc, labels = jax.lax.scan(body, zero, blocks + (keys,))
+        return jax.lax.psum(acc, axis), labels.reshape(local_n)
+
+    acc, labels = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()) + data_specs,
+        out_specs=(P(), P(axis)))(theta, log_pi, key, *data)
+    return labels, FusedEStep(
+        stats=spec.unpack(acc), lse=jnp.zeros((), data[0].dtype),
+        counts=acc[:, 0])
+
+
 def fused_gibbs_blockwise(spec: EStepSpec, key, params, log_pi, data,
                           block_size=65536):
     """Generic fused Gibbs label sweep: per block, plug-in log-densities

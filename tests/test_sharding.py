@@ -68,6 +68,38 @@ def test_suffstats_psum_equivalence(data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
 
 
+def test_vi_fused_sharded_equals_unsharded(data):
+    """shard_map fused E-step (psum'd stats accumulator) == single-device
+    fused E-step; only the block accumulation order differs."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    ref_state, ref_vlb = m.fit_vi_fused(data, key=1, maxiter=40,
+                                        block_size=512)
+    xs = shard_data(mesh, data)
+    sh_state, sh_vlb = m.fit_vi_fused(xs, key=1, maxiter=40,
+                                      block_size=512, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sh_state.components.mu),
+                               np.asarray(ref_state.components.mu), rtol=1e-8)
+
+
+def test_gibbs_fused_sharded_runs(data):
+    """shard_map fused Gibbs: device-local labels + psum'd one-hot stats.
+    Labels use per-device folded PRNG streams, so only check mass/recovery."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    xs = shard_data(mesh, data)
+    state = m.fit_gibbs_fused(xs, key=2, maxiter=60, block_size=512,
+                              mesh=mesh)
+    counts = np.bincount(np.asarray(state.labels), minlength=8)
+    assert counts.sum() == data.shape[0]
+    assert np.sort(counts)[-4:].sum() > 0.8 * data.shape[0]
+    assert bool(jnp.all(jnp.isfinite(state.components.mu)))
+
+
 def test_ilr_sharded_vi(data):
     rng = np.random.default_rng(0)
     n = 2048
