@@ -101,7 +101,6 @@ class BayesianGMM(BayesianMixture):
                 "backend='pallas' is single-chip; use backend='xla' with "
                 'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
-        from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.pallas_estep import estep_from_xt
         if not isinstance(self.components_prior, _NIW):
             raise TypeError('the pallas engine supports full-covariance '
@@ -109,12 +108,9 @@ class BayesianGMM(BayesianMixture):
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            block_size = pick_block_size(x.shape[0], multiple=128)
-        if x.shape[0] % block_size:
-            raise ValueError(
-                f'N={x.shape[0]} must be a multiple of block_size='
-                f'{block_size}; use parallel.pad_to_multiple + point '
-                f'weights, or the standard fit_vi')
+            # lane tiling wants a multiple of 128; any N works — the
+            # launcher zero-pads the tail and the kernel masks it
+            block_size = min(65536, -(-x.shape[0] // 128) * 128)
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('vi_fused_pallas', maxiter, block_size, randomize,
@@ -171,7 +167,6 @@ class BayesianGMM(BayesianMixture):
                 'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.models.mixture import GibbsState as _GS
-        from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.pallas_gibbs import (
             gibbs_labels_from_xt, gauss_plugin_nat)
         if not isinstance(self.components_prior, _NIW):
@@ -180,9 +175,9 @@ class BayesianGMM(BayesianMixture):
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            block_size = pick_block_size(x.shape[0], multiple=128)
-        if x.shape[0] % block_size:
-            raise ValueError(f'N must be a multiple of {block_size}')
+            # any N: the launcher zero-pads to a block multiple and the
+            # kernel masks the tail
+            block_size = min(65536, -(-x.shape[0] // 128) * 128)
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('gibbs_fused_pallas', maxiter, block_size)

@@ -51,7 +51,7 @@ def _nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _estep_kernel(x_ref, h1_ref, h2_ref, c_ref,
+def _estep_kernel(n_valid, x_ref, h1_ref, h2_ref, c_ref,
                   s1_ref, sxx_ref, cnt_ref, lse_ref):
     i = pl.program_id(0)
 
@@ -77,9 +77,20 @@ def _estep_kernel(x_ref, h1_ref, h2_ref, c_ref,
 
     m = jnp.max(logp, axis=0, keepdims=True)         # (1, B)
     ex = jnp.exp(logp - m)                           # (K, B)
-    denom = jnp.sum(ex, axis=0, keepdims=True)       # (1, B)
-    lse = m + jnp.log(denom)
-    resp = ex / denom                                # (K, B)
+    if n_valid is None:
+        denom = jnp.sum(ex, axis=0, keepdims=True)   # (1, B)
+        lse = m + jnp.log(denom)
+        resp = ex / denom                            # (K, B)
+    else:
+        # zero-mask padded tail columns (launcher pads N up to a
+        # block_size multiple) so they contribute nothing to stats/lse
+        col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        mask = (col < n_valid).astype(jnp.float32)   # (1, B)
+        ex = ex * mask
+        denom = jnp.sum(ex, axis=0, keepdims=True)
+        safe = jnp.maximum(denom, jnp.float32(1e-37))
+        lse = (m + jnp.log(safe)) * mask
+        resp = ex / safe                             # 0 on padded columns
 
     s1_ref[:] += _nt(resp, xt)                       # (K, d)
     for j in range(d):
@@ -90,12 +101,17 @@ def _estep_kernel(x_ref, h1_ref, h2_ref, c_ref,
 
 def _estep_pallas_xt(xt, h1, h2f, c2, block_size):
     """Kernel launcher on pre-transposed data xt (d, N), float32.
-    c2 arrives (K, 1) so it broadcasts over the lane (point) axis."""
+    c2 arrives (K, 1) so it broadcasts over the lane (point) axis.
+    N need not divide block_size: the tail is zero-padded here and
+    zero-masked inside the kernel."""
     d, n = xt.shape
     k = h1.shape[0]
-    grid = n // block_size
+    pad = (-n) % block_size
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+    grid = (n + pad) // block_size
     return pl.pallas_call(
-        _estep_kernel,
+        functools.partial(_estep_kernel, n if pad else None),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((d, block_size), lambda i: (0, i),

@@ -1,7 +1,7 @@
 """Pallas TPU kernel: fused blocked-Gibbs label sweep for GMMs.
 
 Per block of B points, in one pass over HBM-resident data:
-    logp   = x @ h1^T + (x (x) x) @ h2^T + c        (B, K)   [plug-in params]
+    logp   = h1 @ x^T + h2 @ (x (x) x)^T + c        (K, B)   [plug-in params]
     g      = Gumbel noise from the on-core PRNG                (pltpu.prng_*)
     labels = argmax_k (logp + g)                     — categorical sampling
     oh     = one_hot(labels)
@@ -24,12 +24,19 @@ from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
 
-def _dn(ca, cb):
-    return (((ca,), (cb,)), ((), ()))
+def _nt(a, b):
+    """dot_general contracting the last (lane) axis of both operands:
+    (M, B) x (N, B) -> (M, N)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _gibbs_kernel(seed_ref, x_ref, h1_ref, h2_ref, c_ref,
+def _gibbs_kernel(n_valid, seed_ref, x_ref, h1_ref, h2_ref, c_ref,
                   lab_ref, s1_ref, sxx_ref, cnt_ref):
+    """(K, B) orientation throughout — K on sublanes, points on lanes —
+    exactly like _estep_kernel (pallas_estep.py layout notes): the (B, K)
+    form pads K 50->128 on every VPU op and holds 2.3x more VMEM per
+    live array, which at production block sizes spills past VMEM."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -44,38 +51,38 @@ def _gibbs_kernel(seed_ref, x_ref, h1_ref, h2_ref, c_ref,
     d, b = xt.shape
     k = h1_ref.shape[0]
 
-    logp = jax.lax.dot_general(xt, h1_ref[:], _dn(0, 1),
-                               preferred_element_type=jnp.float32) \
-        + c_ref[:]                                   # (B, K)
+    stripes = [xt * xt[j:j + 1, :] for j in range(d)]    # d x (d, B)
+    logp = jnp.dot(h1_ref[:], xt,
+                   preferred_element_type=jnp.float32) + c_ref[:]  # (K, B)
     for j in range(d):
-        t_j = xt * xt[j:j + 1, :]
-        logp += jax.lax.dot_general(t_j, h2_ref[:, j * d:(j + 1) * d],
-                                    _dn(0, 1),
-                                    preferred_element_type=jnp.float32)
+        logp += jnp.dot(h2_ref[:, j * d:(j + 1) * d], stripes[j],
+                        preferred_element_type=jnp.float32)
 
     # Gumbel-max categorical sampling with the on-core PRNG
-    bits = pltpu.prng_random_bits((b, k))
+    bits = pltpu.prng_random_bits((k, b))
     u = pltpu.bitcast(
         jnp.bitwise_or(jnp.right_shift(pltpu.bitcast(bits, jnp.uint32), 9),
                        jnp.uint32(0x3F800000)), jnp.float32) - 1.0
     gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
-    perturbed = logp + gumbel
-    # manual argmax (Mosaic cannot lower jnp.argmax): max + masked int-min
-    mx = jnp.max(perturbed, axis=-1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    labels = jnp.min(jnp.where(perturbed >= mx, col, k), axis=-1)  # (B,)
+    perturbed = logp + gumbel                        # (K, B)
+    # manual argmax over sublanes (Mosaic cannot lower jnp.argmax)
+    mx = jnp.max(perturbed, axis=0, keepdims=True)   # (1, B)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0)
+    labels = jnp.min(jnp.where(perturbed >= mx, row, k), axis=0)   # (B,)
     lab_ref[:] = labels[None, :].astype(jnp.int32)
 
-    oh = jnp.where(col == labels[:, None], jnp.float32(1.0),
-                   jnp.float32(0.0))                            # (B, K)
+    oh = jnp.where(row == labels[None, :], jnp.float32(1.0),
+                   jnp.float32(0.0))                            # (K, B)
+    if n_valid is not None:
+        # zero-mask padded tail columns so they add nothing to the stats
+        # (their labels are sliced off by the launcher)
+        col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        oh = oh * (col < n_valid).astype(jnp.float32)
 
-    s1_ref[:] += jax.lax.dot_general(oh, xt, _dn(0, 1),
-                                     preferred_element_type=jnp.float32)
+    s1_ref[:] += _nt(oh, xt)                         # (K, d)
     for j in range(d):
-        t_j = xt * xt[j:j + 1, :]
-        sxx_ref[:, j * d:(j + 1) * d] += jax.lax.dot_general(
-            oh, t_j, _dn(0, 1), preferred_element_type=jnp.float32)
-    cnt_ref[:] += jnp.sum(oh, axis=0, keepdims=True)
+        sxx_ref[:, j * d:(j + 1) * d] += _nt(oh, stripes[j])
+    cnt_ref[:] += jnp.sum(oh, axis=1, keepdims=True)       # (K, 1)
 
 
 def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
@@ -83,22 +90,22 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
 
     Args:
       seed: int32 scalar PRNG seed (fold the sweep index in upstream).
-      params_nat: (h1 (K, d), h2f (K, d*d), c (1, K)) — the plug-in
+      params_nat: (h1 (K, d), h2f (K, d*d), c (K, 1)) — the plug-in
         log-density in natural form: logp = x h1^T + xx h2f^T + c.
-      xt: (d, N) float32, N a multiple of block_size.
+      xt: (d, N) float32; any N (the tail is zero-padded to a block_size
+        multiple and masked inside the kernel).
     Returns: (labels (N,) int32, EStepResult with one-hot stats).
     """
     h1, h2f, c2 = params_nat
     d, n = xt.shape
     k = h1.shape[0]
-    grid = n // block_size
 
     if jax.default_backend() != 'tpu':
         # XLA fallback (CPU tests / multichip dryruns): same semantics —
         # pltpu.prng_* has no interpreter lowering.
         x = xt.T
         xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
-        logp = x @ h1.T + xx @ h2f.T + c2
+        logp = x @ h1.T + xx @ h2f.T + c2.T
         key = jax.random.PRNGKey(seed)
         labels = jax.random.categorical(key, logp, axis=-1).astype(jnp.int32)
         oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)
@@ -109,8 +116,12 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
                                    lse=jnp.zeros((), jnp.float32),
                                    counts=counts)
 
+    pad = (-n) % block_size
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+    grid = (n + pad) // block_size
     lab, s1, sxx, cnt = pl.pallas_call(
-        _gibbs_kernel,
+        functools.partial(_gibbs_kernel, n if pad else None),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -119,7 +130,7 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_size), lambda i: (0, i),
@@ -127,23 +138,24 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((k, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != 'tpu',
     )(jnp.asarray([seed], jnp.int32), xt, h1, h2f, c2)
 
-    counts = cnt[0]
+    counts = cnt[:, 0]
     stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
-    return lab[0], EStepResult(stats=stats, lse=jnp.zeros((), jnp.float32),
-                               counts=counts)
+    return lab[0, :n], EStepResult(stats=stats,
+                                   lse=jnp.zeros((), jnp.float32),
+                                   counts=counts)
 
 
 def gauss_plugin_nat(params, log_pi):
@@ -160,4 +172,4 @@ def gauss_plugin_nat(params, log_pi):
     c = (-0.5 * jnp.einsum('kd,kd->k', mu, h1) + 0.5 * logdet
          - 0.5 * d * LOG2PI + log_pi)
     return (h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),
-            c.reshape(1, k).astype(jnp.float32))
+            c.reshape(k, 1).astype(jnp.float32))

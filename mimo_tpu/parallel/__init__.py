@@ -1,5 +1,6 @@
 from mimo_tpu.parallel.mesh import (
-    make_mesh, shard_data, replicate, data_parallel_fit, pad_to_multiple,
+    init_distributed, make_mesh, shard_data, replicate, data_parallel_fit,
+    pad_to_multiple,
 )
 from mimo_tpu.parallel.chains import (
     fit_chains, best_of, systematic_resample, smc_gibbs,

@@ -21,6 +21,29 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: one call per host before any jax use.
+
+    Wraps `jax.distributed.initialize` (auto-detected on TPU pods — all
+    arguments optional there). After this, `jax.devices()` is the GLOBAL
+    device list, so `make_mesh()` spans every host: the 'data' axis rides
+    ICI within a slice and DCN across slices, and the psum'd statistics
+    (fixed K*m floats) are the only cross-host traffic per sweep. The
+    reference has no distributed backend at all (SURVEY.md §2.6); this is
+    the whole of ours — no NCCL/MPI, just XLA collectives.
+
+    No-op if already initialized (safe to call from every entry point).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError:
+        pass    # already initialized
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_data=None, n_chain=1, devices=None):
     """Create a ('chain', 'data') mesh. Defaults to all devices on 'data'."""
     devices = jax.devices() if devices is None else devices

@@ -39,6 +39,19 @@ def test_fused_estep_matches_dense(problem):
     np.testing.assert_allclose(float(dense.lse), float(fused.lse), rtol=1e-5)
 
 
+def test_fused_estep_padded_tail(problem):
+    """N not a multiple of block_size: the launcher zero-pads and the
+    kernel masks the tail, so results match the dense path exactly."""
+    x, post, log_pi = problem
+    x = x[:1000]                                  # 1000 % 256 != 0
+    dense = gmm_estep_dense(post, log_pi, x)
+    fused = gmm_estep_pallas(post, log_pi, x, block_size=256)
+    for a, b in zip(dense.stats, fused.stats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(dense.lse), float(fused.lse), rtol=1e-5)
+
+
 def test_fused_gibbs_labels(problem):
     x, post, log_pi = problem
     from mimo_tpu.distributions.niw import mode_params
