@@ -101,16 +101,18 @@ class BayesianGMM(BayesianMixture):
                 "backend='pallas' is single-chip; use backend='xla' with "
                 'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
-        from mimo_tpu.ops.pallas_estep import estep_from_xt
+        from mimo_tpu.ops.pallas_estep import (
+            estep_from_xt, pick_pallas_block)
         if not isinstance(self.components_prior, _NIW):
             raise TypeError('the pallas engine supports full-covariance '
                             '(NIW) components only')
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            # lane tiling wants a multiple of 128; any N works — the
-            # launcher zero-pads the tail and the kernel masks it
-            block_size = min(65536, -(-x.shape[0] // 128) * 128)
+            # lane tiling wants a multiple of 128; any N works — data is
+            # zero-padded to a block multiple once and the kernel masks
+            # the tail
+            block_size = pick_pallas_block(x.shape[0])
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('vi_fused_pallas', maxiter, block_size, randomize,
@@ -118,7 +120,12 @@ class BayesianGMM(BayesianMixture):
         if cache_key not in self._cache:
             def run(x, key, init_state):
                 from mimo_tpu.models.mixture import MFState as _MF
-                xt = x.astype(jnp.float32).T
+                n = x.shape[0]
+                # pad ONCE, outside the sweep scan (the kernel masks the
+                # tail via n_valid) — padding inside step() would re-copy
+                # the whole dataset every sweep
+                xt = jnp.pad(x.astype(jnp.float32).T,
+                             ((0, 0), (0, (-n) % block_size)))
                 if randomize or init_state is None:
                     r = jax.random.uniform(key, (x.shape[0], self.size),
                                            dtype=x.dtype, minval=1e-3,
@@ -131,7 +138,7 @@ class BayesianGMM(BayesianMixture):
                 def step(state, _):
                     log_pi = state.gating.expected_log_pi()
                     res = estep_from_xt(state.components, log_pi, xt,
-                                        block_size)
+                                        block_size, n_valid=n)
                     vlb = (res.lse
                            - jnp.sum(self.family.kl(state.components,
                                                     self.components_prior))
@@ -167,6 +174,7 @@ class BayesianGMM(BayesianMixture):
                 'mesh for the shard_map path')
         from mimo_tpu.distributions.niw import NIW as _NIW
         from mimo_tpu.models.mixture import GibbsState as _GS
+        from mimo_tpu.ops.pallas_estep import pick_pallas_block
         from mimo_tpu.ops.pallas_gibbs import (
             gibbs_labels_from_xt, gauss_plugin_nat)
         if not isinstance(self.components_prior, _NIW):
@@ -175,15 +183,18 @@ class BayesianGMM(BayesianMixture):
         data = data if isinstance(data, tuple) else (data,)
         x = data[0]
         if block_size is None:
-            # any N: the launcher zero-pads to a block multiple and the
+            # any N: data is zero-padded to a block multiple once and the
             # kernel masks the tail
-            block_size = min(65536, -(-x.shape[0] // 128) * 128)
+            block_size = pick_pallas_block(x.shape[0])
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('gibbs_fused_pallas', maxiter, block_size)
         if cache_key not in self._cache:
             def run(x, key):
-                xt = x.astype(jnp.float32).T
+                n = x.shape[0]
+                # pad ONCE, outside the sweep scan (kernel masks the tail)
+                xt = jnp.pad(x.astype(jnp.float32).T,
+                             ((0, 0), (0, (-n) % block_size)))
                 comp = self.components_prior
                 gating = self.gating_prior
 
@@ -200,7 +211,7 @@ class BayesianGMM(BayesianMixture):
                     log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
                     nat = gauss_plugin_nat(params, log_pi)
                     labels, res = gibbs_labels_from_xt(
-                        seed_bits, nat, xt, block_size)
+                        seed_bits, nat, xt, block_size, n_valid=n)
                     stats = jax.tree.map(lambda a: a.astype(x.dtype),
                                          res.stats)
                     comp = self.family.update(self.components_prior, stats)

@@ -162,8 +162,8 @@ class BayesianMixture:
         if local_n % block_size:
             raise ValueError(
                 f'per-device N={local_n} must be a multiple of block_size='
-                f'{block_size}; use parallel.pad_to_multiple + point '
-                f'weights, or fit_vi')
+                f'{block_size}; pass a block_size dividing it (any '
+                f'divisor works for the XLA engine), or use fit_vi')
         fn = self._jitted('vi_fused', maxiter=maxiter, block_size=block_size,
                           randomize=randomize, warm=init_state is not None,
                           mesh=mesh)
@@ -228,7 +228,9 @@ class BayesianMixture:
             block_size = pick_block_size(local_n)
         if local_n % block_size:
             raise ValueError(
-                f'per-device N={local_n} must be a multiple of {block_size}')
+                f'per-device N={local_n} must be a multiple of block_size='
+                f'{block_size}; pass a block_size dividing it (any '
+                f'divisor works for the XLA engine), or use fit_gibbs')
         fn = self._jitted('gibbs_fused', maxiter=maxiter,
                           block_size=block_size, mesh=mesh)
 

@@ -138,7 +138,7 @@ def gmm_gibbs_blockwise(key, params_nat, x, block_size=65536):
 
     Args:
       key: PRNG key for this sweep.
-      params_nat: (h1 (K, d), h2f (K, d*d), c (1, K)) plug-in natural form
+      params_nat: (h1 (K, d), h2f (K, d*d), c (K, 1)) plug-in natural form
         (pallas_gibbs.gauss_plugin_nat).
       x: (N, d), N a multiple of block_size.
     Returns: (labels (N,) int32, EStepResult with one-hot stats, lse=0).
@@ -150,7 +150,7 @@ def gmm_gibbs_blockwise(key, params_nat, x, block_size=65536):
     assert nb * block_size == n, 'pad N to a multiple of block_size'
     xb = x.reshape(nb, block_size, d).astype(jnp.float32)
     keys = jax.random.split(key, nb)
-    theta = jnp.concatenate([jnp.swapaxes(c2, 0, 1), h1, h2f], axis=-1)
+    theta = jnp.concatenate([c2.reshape(k, 1), h1, h2f], axis=-1)
 
     def body(acc, inp):
         x_blk, kb = inp

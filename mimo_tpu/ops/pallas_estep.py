@@ -99,19 +99,26 @@ def _estep_kernel(n_valid, x_ref, h1_ref, h2_ref, c_ref,
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 
-def _estep_pallas_xt(xt, h1, h2f, c2, block_size):
-    """Kernel launcher on pre-transposed data xt (d, N), float32.
-    c2 arrives (K, 1) so it broadcasts over the lane (point) axis.
-    N need not divide block_size: the tail is zero-padded here and
-    zero-masked inside the kernel."""
+def pick_pallas_block(n, target=65536):
+    """Block size for the padded kernels: ~target-sized blocks whose
+    count covers n with at most 127 columns of padding per block (a
+    flat min(target, ceil128(n)) wastes up to ~2x when n is just above
+    target)."""
+    nb = -(-n // target)
+    return -(-(-(-n // nb)) // 128) * 128
+
+
+def _estep_pallas_xt(xt, h1, h2f, c2, block_size, n_valid):
+    """Kernel launcher on pre-transposed, already block-padded data
+    xt (d, N') with N' a multiple of block_size; n_valid (static int or
+    None) marks the real rows — tail columns beyond it are masked in the
+    kernel. c2 arrives (K, 1) so it broadcasts over the lane axis."""
     d, n = xt.shape
     k = h1.shape[0]
-    pad = (-n) % block_size
-    if pad:
-        xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    grid = (n + pad) // block_size
+    assert n % block_size == 0
+    grid = n // block_size
     return pl.pallas_call(
-        functools.partial(_estep_kernel, n if pad else None),
+        functools.partial(_estep_kernel, n_valid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((d, block_size), lambda i: (0, i),
@@ -141,14 +148,27 @@ def _estep_pallas_xt(xt, h1, h2f, c2, block_size):
     )(xt, h1, h2f, c2)
 
 
-def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768):
-    """Fused E-step on pre-transposed float32 data xt (d, N)."""
+def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
+                  n_valid=None):
+    """Fused E-step on pre-transposed float32 data xt (d, N).
+
+    Any N works. Callers running this inside a sweep loop should pad xt
+    to a block_size multiple ONCE outside the loop (jnp.pad) and pass
+    `n_valid` = the real N, so the pad copy isn't re-done per sweep;
+    with n_valid=None the padding happens here."""
     d, n = xt.shape
     k = post.mu.shape[0]
+    if n_valid is None:
+        pad = (-n) % block_size
+        if pad:
+            xt = jnp.pad(xt, ((0, 0), (0, pad)))
+            n_valid = n
+    elif n_valid == n:
+        n_valid = None           # nothing masked: use the unmasked kernel
     h1, h2, c = _estep_nat(post, log_pi)
     s1, sxx, cnt, lse = _estep_pallas_xt(
         xt, h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),
-        c.reshape(k, 1).astype(jnp.float32), block_size)
+        c.reshape(k, 1).astype(jnp.float32), block_size, n_valid)
     counts = cnt[:, 0]
     stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
     return EStepResult(stats=stats, lse=lse[0, 0], counts=counts)
@@ -156,8 +176,9 @@ def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768):
 
 @functools.partial(jax.jit, static_argnames=('block_size',))
 def gmm_estep_pallas(post: NIW, log_pi, x, block_size: int = 32768):
-    """Fused E-step. x: (N, d) with N a multiple of block_size (pad with
-    zero-weight upstream). Returns EStepResult like the XLA versions."""
+    """Fused E-step. x: (N, d), any N (the launcher zero-pads the tail
+    to a block_size multiple and the kernel masks it). Returns
+    EStepResult like the XLA versions."""
     xt = x.astype(jnp.float32).T
     res = estep_from_xt(post, log_pi, xt, block_size)
     return EStepResult(

@@ -24,11 +24,7 @@ from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
 
-def _nt(a, b):
-    """dot_general contracting the last (lane) axis of both operands:
-    (M, B) x (N, B) -> (M, N)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+from mimo_tpu.ops.pallas_estep import _nt
 
 
 def _gibbs_kernel(n_valid, seed_ref, x_ref, h1_ref, h2_ref, c_ref,
@@ -85,7 +81,8 @@ def _gibbs_kernel(n_valid, seed_ref, x_ref, h1_ref, h2_ref, c_ref,
     cnt_ref[:] += jnp.sum(oh, axis=1, keepdims=True)       # (K, 1)
 
 
-def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
+def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
+                         n_valid=None):
     """Sample labels + accumulate one-hot statistics in one fused pass.
 
     Args:
@@ -93,17 +90,29 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
       params_nat: (h1 (K, d), h2f (K, d*d), c (K, 1)) — the plug-in
         log-density in natural form: logp = x h1^T + xx h2f^T + c.
       xt: (d, N) float32; any N (the tail is zero-padded to a block_size
-        multiple and masked inside the kernel).
-    Returns: (labels (N,) int32, EStepResult with one-hot stats).
+        multiple and masked inside the kernel). Sweep loops should pad
+        ONCE outside the loop and pass `n_valid` = the real N so the pad
+        copy isn't re-done per sweep.
+    Returns: (labels (n_valid or N,) int32, EStepResult with one-hot stats).
     """
     h1, h2f, c2 = params_nat
     d, n = xt.shape
     k = h1.shape[0]
+    if n_valid is None:
+        pad = (-n) % block_size
+        n_real = n
+        mask_n = n if pad else None
+    else:
+        assert n % block_size == 0
+        pad = 0
+        n_real = n_valid
+        mask_n = None if n_valid == n else n_valid
 
     if jax.default_backend() != 'tpu':
         # XLA fallback (CPU tests / multichip dryruns): same semantics —
         # pltpu.prng_* has no interpreter lowering.
-        x = xt.T
+        n = n_real
+        x = xt[:, :n].T
         xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
         logp = x @ h1.T + xx @ h2f.T + c2.T
         key = jax.random.PRNGKey(seed)
@@ -116,12 +125,11 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
                                    lse=jnp.zeros((), jnp.float32),
                                    counts=counts)
 
-    pad = (-n) % block_size
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     grid = (n + pad) // block_size
     lab, s1, sxx, cnt = pl.pallas_call(
-        functools.partial(_gibbs_kernel, n if pad else None),
+        functools.partial(_gibbs_kernel, mask_n),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -148,14 +156,15 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=jax.default_backend() != 'tpu',
+        # no interpret path: off-TPU the XLA fallback above returns first
+        # (pltpu.prng_* has no interpreter lowering)
     )(jnp.asarray([seed], jnp.int32), xt, h1, h2f, c2)
 
     counts = cnt[:, 0]
     stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
-    return lab[0, :n], EStepResult(stats=stats,
-                                   lse=jnp.zeros((), jnp.float32),
-                                   counts=counts)
+    return lab[0, :n_real], EStepResult(stats=stats,
+                                        lse=jnp.zeros((), jnp.float32),
+                                        counts=counts)
 
 
 def gauss_plugin_nat(params, log_pi):

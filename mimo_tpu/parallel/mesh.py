@@ -33,14 +33,15 @@ def init_distributed(coordinator_address=None, num_processes=None,
     reference has no distributed backend at all (SURVEY.md §2.6); this is
     the whole of ours — no NCCL/MPI, just XLA collectives.
 
-    No-op if already initialized (safe to call from every entry point).
+    No-op if already initialized (safe to call from every entry point);
+    a genuinely failed bring-up (unreachable coordinator, backend already
+    started) raises rather than silently degrading the pod to N
+    independent single-host jobs.
     """
-    try:
+    if not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except RuntimeError:
-        pass    # already initialized
     return jax.process_index(), jax.process_count()
 
 

@@ -100,6 +100,29 @@ def test_gibbs_fused_sharded_runs(data):
     assert bool(jnp.all(jnp.isfinite(state.components.mu)))
 
 
+def test_chain_and_data_axes_together(data):
+    """2x4 mesh: restarts sharded over 'chain' AND points over 'data' in
+    one program — results equal the fully replicated run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mimo_tpu.parallel.chains import fit_chains, best_of
+    mesh = make_mesh(n_chain=2)
+    assert mesh.shape == {'chain': 2, 'data': 4}
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    ref_states, ref_vlbs = fit_chains(m, 'fit_vi', data, keys, maxiter=25)
+
+    keys_sh = jax.device_put(keys, NamedSharding(mesh, P('chain')))
+    data_sh = jax.device_put(data, NamedSharding(mesh, P('data')))
+    sh_states, sh_vlbs = fit_chains(m, 'fit_vi', data_sh, keys_sh,
+                                    maxiter=25)
+    np.testing.assert_allclose(np.asarray(sh_vlbs), np.asarray(ref_vlbs),
+                               rtol=1e-8)
+    _, best_ref = best_of(ref_states, ref_vlbs)
+    _, best_sh = best_of(sh_states, sh_vlbs)
+    assert int(best_ref) == int(best_sh)
+
+
 def test_ilr_sharded_vi(data):
     rng = np.random.default_rng(0)
     n = 2048
