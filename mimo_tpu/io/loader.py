@@ -7,6 +7,7 @@ VI on datasets beyond host RAM / device HBM. Build the library once with
 """
 
 import ctypes
+import glob
 import os
 import subprocess
 
@@ -17,14 +18,33 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, 'libmimo_loader.so')
 _lib = None
 
 
+def _find_lib():
+    """Locate the shared object: explicit env override, then the wheel-
+    installed extension (setup.py builds native/loader.cc into
+    mimo_tpu/io/_libmimo_loader*.so), then the source-tree build
+    (native/libmimo_loader.so, compiled on demand via make)."""
+    env = os.environ.get('MIMO_TPU_LOADER')
+    if env:
+        return env
+    here = os.path.dirname(__file__)
+    hits = glob.glob(os.path.join(here, '_libmimo_loader*.so'))
+    if hits:
+        return hits[0]
+    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                       capture_output=True)
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    raise OSError(
+        'native loader not found: set MIMO_TPU_LOADER, reinstall with a '
+        'C++ toolchain, or run `make -C native` in a source checkout')
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
-                       capture_output=True)
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(_find_lib())
     lib.mimo_open.restype = ctypes.c_void_p
     lib.mimo_open.argtypes = [ctypes.c_char_p,
                               ctypes.POINTER(ctypes.c_int64),
