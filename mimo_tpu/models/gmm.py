@@ -84,9 +84,9 @@ class BayesianGMM(BayesianMixture):
             return diag_gaussian_spec()
         return None    # hierarchical: use fit_vi
 
-    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
-                     init_state=None, randomize=True, backend='xla',
-                     mesh=None):
+    def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
+                     block_size=None, init_state=None, randomize=True,
+                     backend='xla', mesh=None):
         """Mean-field VI with a fused blockwise E-step (see
         BayesianMixture.fit_vi_fused). backend='pallas' additionally
         offers the hand-written Mosaic kernel (ops/pallas_estep.py,
@@ -94,8 +94,9 @@ class BayesianGMM(BayesianMixture):
         128)."""
         if backend != 'pallas':
             return super().fit_vi_fused(
-                data, key=key, maxiter=maxiter, block_size=block_size,
-                init_state=init_state, randomize=randomize, mesh=mesh)
+                data, key=key, maxiter=maxiter, tol=tol,
+                block_size=block_size, init_state=init_state,
+                randomize=randomize, mesh=mesh)
         if mesh is not None:
             raise NotImplementedError(
                 "backend='pallas' is single-chip; use backend='xla' with "
@@ -116,9 +117,9 @@ class BayesianGMM(BayesianMixture):
         if isinstance(key, int) or key is None:
             key = jax.random.PRNGKey(key or 0)
         cache_key = ('vi_fused_pallas', maxiter, block_size, randomize,
-                     init_state is not None)
+                     tol is not None, init_state is not None)
         if cache_key not in self._cache:
-            def run(x, key, init_state):
+            def run(x, key, init_state, tol):
                 from mimo_tpu.models.mixture import MFState as _MF
                 n = x.shape[0]
                 # pad ONCE, outside the sweep scan (the kernel masks the
@@ -153,11 +154,12 @@ class BayesianGMM(BayesianMixture):
                             res.counts.astype(x.dtype)))
                     return new, vlb
 
-                state, vlb = jax.lax.scan(step, state, None, length=maxiter)
+                from mimo_tpu.models.mixture import _elbo_loop
+                state, vlb = _elbo_loop(step, state, maxiter, tol, x.dtype)
                 return state, vlb
 
             self._cache[cache_key] = jax.jit(run)
-        return self._cache[cache_key](x, key, init_state)
+        return self._cache[cache_key](x, key, init_state, tol)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100,
                         block_size=None, backend='xla', mesh=None):

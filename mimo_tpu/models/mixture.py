@@ -53,6 +53,35 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _elbo_loop(step, carry0, maxiter, tol, dtype):
+    """Run `carry, vlb = step(carry, i)` for up to `maxiter` sweeps.
+
+    With `tol` (the reference's VI stopping rule, gmm.py:279-283:
+    |vlb_t - vlb_{t-1}| < tol after at least two sweeps) the loop is a
+    `lax.while_loop` that actually stops early on device; the returned
+    (maxiter,) trace is constant-extended past convergence so the shape
+    stays static under jit. With tol=None it is a plain `lax.scan`.
+    """
+    if tol is None:
+        return jax.lax.scan(step, carry0, jnp.arange(maxiter))
+
+    trace0 = jnp.zeros((maxiter,), dtype)
+    big = jnp.array(jnp.inf, dtype)
+
+    def cond(c):
+        i, _, prev, cur, _ = c
+        return (i < maxiter) & ((i < 2) | (jnp.abs(cur - prev) >= tol))
+
+    def body(c):
+        i, carry, _, cur, trace = c
+        carry, vlb = step(carry, i)
+        return (i + 1, carry, cur, vlb, trace.at[i].set(vlb))
+
+    i, carry, _, last, trace = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), carry0, big, -big, trace0))
+    return carry, jnp.where(jnp.arange(maxiter) < i, trace, last)
+
+
 def reanchor(state: MFState) -> MFState:
     """prior <- posterior re-anchoring between super-iterations — the
     flagship ILR recipe's warm-start (evaluate_sine.py:153-155). Returns the
@@ -129,8 +158,9 @@ class BayesianMixture:
         hierarchical inner loops). Overridden by concrete models."""
         return None
 
-    def fit_vi_fused(self, data, key=None, maxiter=250, block_size=None,
-                     init_state=None, randomize=True, mesh=None):
+    def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
+                     block_size=None, init_state=None, randomize=True,
+                     mesh=None):
         """Mean-field VI with the fused blockwise E-step: log-densities and
         sufficient statistics are two matmuls per block over the family's
         feature map; the N x K responsibilities never exist
@@ -144,7 +174,9 @@ class BayesianMixture:
         parallel.shard_data (per-device rows a multiple of block_size).
 
         The ELBO trace reports ELBO(state_t) exactly (lse identity) —
-        the standard engine's trace shifted by one sweep.
+        the standard engine's trace shifted by one sweep. `tol` stops the
+        sweep loop early once |dELBO| < tol (gmm.py:279-283; trace is
+        constant-extended to keep static shape).
         Returns (MFState, vlb_trace)."""
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.family_estep import (
@@ -165,10 +197,10 @@ class BayesianMixture:
                 f'{block_size}; pass a block_size dividing it (any '
                 f'divisor works for the XLA engine), or use fit_vi')
         fn = self._jitted('vi_fused', maxiter=maxiter, block_size=block_size,
-                          randomize=randomize, warm=init_state is not None,
-                          mesh=mesh)
+                          randomize=randomize, tol=tol is not None,
+                          warm=init_state is not None, mesh=mesh)
 
-        def run(data, key, init_state):
+        def run(data, key, init_state, tol):
             if randomize or init_state is None:
                 resp = _random_resp(key, n, self.size, data[0].dtype)
                 state = self._mf_update(data, resp)
@@ -195,10 +227,11 @@ class BayesianMixture:
                     gating=self.gating_prior.update(res.counts))
                 return new, vlb
 
-            state, vlb = jax.lax.scan(step, state, None, length=maxiter)
+            state, vlb = _elbo_loop(step, state, maxiter, tol,
+                                    data[0].dtype)
             return state, vlb
 
-        return fn(run, data, key, init_state)
+        return fn(run, data, key, init_state, tol)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
                         mesh=None):
@@ -308,22 +341,27 @@ class BayesianMixture:
 
         return fn(run, data, key)
 
-    def fit_vi(self, data, key=None, maxiter=250, init_state=None,
+    def fit_vi(self, data, key=None, maxiter=250, tol=None, init_state=None,
                randomize=True, point_weights=None):
         """Mean-field coordinate ascent. Returns (MFState, vlb_trace).
 
         `randomize=True` starts from random responsibilities (gmm.py:266-268);
         pass `init_state` (e.g. from Gibbs) with randomize=False to warm-start.
+        `tol` stops the sweep loop early once |dELBO| < tol (the reference's
+        rule, gmm.py:279-283, default there 1e-8; here None = fixed maxiter);
+        the trace keeps static shape (maxiter,) — constant-extended past
+        convergence.
         `point_weights` (N,) scales each point's statistics (nested-mixture
         cluster weights, hgmm.py:202, or zero-weight padding).
         """
         data = _as_tuple(data)
         key = _as_key(key)
         fn = self._jitted('vi', maxiter=maxiter, randomize=randomize,
+                          tol=tol is not None,
                           warm=init_state is not None,
                           weighted=point_weights is not None)
 
-        def run(data, key, init_state, point_weights):
+        def run(data, key, init_state, point_weights, tol):
             n = data[0].shape[0]
             if randomize or init_state is None:
                 resp = _random_resp(key, n, self.size, data[0].dtype)
@@ -334,12 +372,12 @@ class BayesianMixture:
             def step(carry, _):
                 return self._vi_sweep(carry, data, point_weights)
 
-            (state, resp), vlb = jax.lax.scan(
+            (state, resp), vlb = _elbo_loop(
                 step, (state, self.expected_responsibilities(state, data)),
-                None, length=maxiter)
+                maxiter, tol, data[0].dtype)
             return state, vlb
 
-        return fn(run, data, key, init_state, point_weights)
+        return fn(run, data, key, init_state, point_weights, tol)
 
     # -- stochastic VI (gmm.py:300-336) ------------------------------------
 

@@ -163,3 +163,50 @@ def test_reanchor(data):
     state2, vlb2 = m2.fit_vi(x, key=2, maxiter=50, init_state=state,
                              randomize=False)
     assert np.isfinite(np.asarray(vlb2)).all()
+
+
+def test_vi_tol_early_stop(data):
+    """`tol` reproduces the reference's |dELBO| < tol stopping rule
+    (gmm.py:279-283): the early-stopped trace must be a constant-extended
+    prefix of the fixed-maxiter trace, with the break at the first
+    |vlb[t] - vlb[t-1]| < tol."""
+    x, _ = data
+    m = BayesianGMM.make(size=8, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    _, full = m.fit_vi(x, key=1, maxiter=150)
+    full = np.asarray(full)
+    d = np.abs(np.diff(full))
+    # pick a tol that provably fires mid-trace: just above the smallest
+    # |dELBO| seen in the first 120 sweeps
+    tol = float(d[:120].min()) * 1.5
+    state, vlb = m.fit_vi(x, key=1, maxiter=150, tol=tol)
+    vlb = np.asarray(vlb)
+    below = np.nonzero(d < tol)[0]
+    assert below.size, 'fixture never converges at this tol; lower it'
+    stop = below[0] + 2        # sweeps executed incl. the converged one
+    assert stop < 150, 'no early stopping happened'
+    np.testing.assert_allclose(vlb[:stop], full[:stop], rtol=1e-12)
+    # constant-extended tail
+    np.testing.assert_allclose(vlb[stop:], vlb[stop - 1], rtol=1e-12)
+    # the state corresponds to the stopped sweep: its ELBO equals the
+    # last trace entry after one more E-step (VI fixed-point property
+    # within tol)
+    resp = m.expected_responsibilities(state, (x,))
+    assert abs(float(m.elbo(state, (x,), resp)) - vlb[stop - 1]) < 1.0
+
+
+def test_vi_fused_tol_early_stop(data):
+    x, _ = data
+    m = BayesianGMM.make(size=8, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    _, full = m.fit_vi_fused(x, key=1, maxiter=150, block_size=750)
+    full = np.asarray(full)
+    d = np.abs(np.diff(full))
+    tol = float(d[:120].min()) * 1.5
+    _, vlb = m.fit_vi_fused(x, key=1, maxiter=150, tol=tol, block_size=750)
+    vlb = np.asarray(vlb)
+    below = np.nonzero(d < tol)[0]
+    assert below.size and below[0] + 2 < 150
+    stop = below[0] + 2
+    np.testing.assert_allclose(vlb[:stop], full[:stop], rtol=1e-12)
+    np.testing.assert_allclose(vlb[stop:], vlb[stop - 1], rtol=1e-12)
