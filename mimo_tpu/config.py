@@ -79,31 +79,37 @@ class TrainConfig:
     svi_iters: int = 500             # --svi_iters
     svi_step_size: float = 5e-1      # --svi_stepsize
     svi_batch_size: int = 256        # --svi_batchsize
+    svi_forgetting: Optional[float] = None  # Robbins-Monro exponent; the
+    svi_delay: float = 1.0                  # reference uses fixed rho
     prediction: str = 'average'      # --prediction: 'average' | 'mode'
-    tol: float = 1e-2                # --earlystop
+    tol: float = 1e-2                # --early_stop (VI |dELBO| rule)
     seed: int = 1337
-    engine: str = 'svi'              # 'svi' (evaluate_sine.py) | 'vi'
-                                     # (full-batch; better for small N)
+    engine: str = 'svi'              # --stochastic/--deterministic:
+                                     # 'svi' (default, evaluate_sine.py) |
+                                     # 'vi' (full-batch; small N) |
+                                     # 'svi+vi' (both per super-iteration)
 
 
 def flagship_fit(model, data, cfg: TrainConfig):
-    """Gibbs init, then super-iterations of SVI (or full-batch VI) with
+    """Gibbs init, then super-iterations of SVI and/or full-batch VI with
     prior<-posterior re-anchoring, all warm-started
-    (evaluate_sine.py:131-155). Returns (model, MFState)."""
+    (evaluate_sine.py:131-155; --stochastic/--deterministic select the
+    engines, --early_stop is the VI tol). Returns (model, MFState)."""
     from mimo_tpu.models.mixture import MFState
     g = model.fit_gibbs(data, key=cfg.seed, maxiter=cfg.gibbs_iters,
                         init_labels='random')
     state = MFState(g.components, g.gating)
     for it in range(cfg.super_iters):
-        if cfg.engine == 'vi':
-            state, _ = model.fit_vi(
-                data, key=cfg.seed + it + 1, maxiter=cfg.vi_iters,
-                init_state=state, randomize=False)
-        else:
+        if 'svi' in cfg.engine:
             state, _ = model.fit_svi(
                 data, key=cfg.seed + it + 1, maxiter=cfg.svi_iters,
                 step_size=cfg.svi_step_size,
                 batch_size=cfg.svi_batch_size,
+                forgetting=cfg.svi_forgetting, delay=cfg.svi_delay,
                 init_state=state, randomize=False)
+        if 'vi' in cfg.engine.replace('svi', ''):
+            state, _ = model.fit_vi(
+                data, key=cfg.seed + it + 1, maxiter=cfg.vi_iters,
+                tol=cfg.tol, init_state=state, randomize=False)
         model = model.with_priors(state)
     return model, state

@@ -383,18 +383,26 @@ class BayesianMixture:
 
     def fit_svi(self, data, key=None, maxiter=500, step_size=1e-2,
                 batch_size=128, init_state=None, randomize=True,
-                track_elbo=False):
+                track_elbo=False, forgetting=None, delay=1.0):
         """Stochastic natural-gradient VI: one random minibatch per step
-        (matching the reference's `batches` semantics, data.py:9-12), fixed
-        step size, nat-space blending. Returns (MFState, vlb_trace) where
-        the trace is full-data ELBO per step if track_elbo else zeros."""
+        (matching the reference's `batches` semantics, data.py:9-12),
+        nat-space blending. Returns (MFState, vlb_trace) where the trace
+        is full-data ELBO per step if track_elbo else zeros.
+
+        The reference uses a fixed step size rho (bayesian.py:235-236) —
+        that stays the default. Pass `forgetting` in (0.5, 1] for the
+        Robbins–Monro schedule rho_t = step_size * (t + 1 + delay)^(-forgetting)
+        (Hoffman et al. 2013, eq. 26), which the stochastic-approximation
+        convergence theory actually requires; `step_size=1.0` gives the
+        textbook rule."""
         data = _as_tuple(data)
         key = _as_key(key)
         fn = self._jitted('svi', maxiter=maxiter, batch_size=batch_size,
                           randomize=randomize, track_elbo=track_elbo,
+                          scheduled=forgetting is not None,
                           warm=init_state is not None)
 
-        def run(data, key, init_state, step_size):
+        def run(data, key, init_state, step_size, forgetting, delay):
             n = data[0].shape[0]
             scale = batch_size / n
             k_init, k_loop = jax.random.split(key)
@@ -404,8 +412,14 @@ class BayesianMixture:
             else:
                 state = init_state
 
-            def step(carry, k):
+            def step(carry, kt):
                 state = carry
+                k, t = kt
+                if forgetting is None:
+                    rho = step_size
+                else:
+                    rho = step_size * (t.astype(data[0].dtype)
+                                       + 1.0 + delay) ** -forgetting
                 k_batch, k_resp = jax.random.split(k)
                 idx = sample_batch_indices(k_batch, n, batch_size)
                 batch = tuple(d[idx] for d in data)
@@ -415,9 +429,9 @@ class BayesianMixture:
                 new = MFState(
                     components=self.family.svi_blend(
                         state.components, self.components_prior,
-                        stats, scale, step_size),
+                        stats, scale, rho),
                     gating=self.gating_prior.svi_blend(
-                        state.gating, counts, scale, step_size),
+                        state.gating, counts, scale, rho),
                 )
                 if track_elbo:
                     full_resp = self.expected_responsibilities(new, data)
@@ -427,20 +441,26 @@ class BayesianMixture:
                 return new, vlb
 
             keys = jax.random.split(k_loop, maxiter)
-            state, vlb = jax.lax.scan(step, state, keys)
+            state, vlb = jax.lax.scan(step, state,
+                                      (keys, jnp.arange(maxiter)))
             return state, vlb
 
-        return fn(run, data, key, init_state, step_size)
+        if forgetting is None:
+            forgetting = delay = None   # keep cache key/tracing minimal
+        return fn(run, data, key, init_state, step_size, forgetting, delay)
 
     def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
-                       step_size=1e-2, batch_size=128, init_state=None):
+                       step_size=1e-2, batch_size=128, init_state=None,
+                       forgetting=None, delay=1.0):
         """Out-of-core SVI: the host supplies minibatches (e.g. from
         io.MmapDataset over a file bigger than RAM/HBM); one jitted
         natural-gradient step runs per batch.
 
         `next_batch(i) -> array or tuple of arrays` with leading dim
         batch_size; `total_size` is N for the stochastic scale B/N.
-        Returns the final MFState."""
+        `forgetting`/`delay` enable the Robbins–Monro step schedule
+        (see fit_svi); since the step runs per host batch, rho_t is just
+        a host float here. Returns the final MFState."""
         key = _as_key(key)
         scale = batch_size / total_size
         step_key = ('svi_stream',)
@@ -467,7 +487,9 @@ class BayesianMixture:
             state = init_state
         for i in range(maxiter):
             batch = _as_tuple(next_batch(i))
-            state = step_fn(state, batch, step_size)
+            rho = step_size if forgetting is None \
+                else step_size * (i + 1.0 + delay) ** -forgetting
+            state = step_fn(state, batch, rho)
         return jax.block_until_ready(state)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------

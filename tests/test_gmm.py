@@ -82,6 +82,29 @@ def test_svi_converges_to_vi_neighborhood(data):
         f'SVI ELBO {svi_vlb[-1]} far below VI {vi_vlb[-1]}')
 
 
+def test_svi_robbins_monro_schedule(data):
+    """forgetting/delay enable the Hoffman-et-al decaying step schedule;
+    forgetting=0 (with delay=0) must exactly reproduce the fixed-step
+    path (rho_t = step_size * (t+1)^0)."""
+    x, _ = data
+    m = BayesianGMM.make(size=8, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    fixed, _ = m.fit_svi(x, key=2, maxiter=100, step_size=0.6,
+                         batch_size=512)
+    degen, _ = m.fit_svi(x, key=2, maxiter=100, step_size=0.6,
+                         batch_size=512, forgetting=0.0, delay=0.0)
+    for a, b in zip(jax.tree.leaves(fixed), jax.tree.leaves(degen)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    # a real schedule converges to the VI neighborhood too
+    vi_state, vi_vlb = m.fit_vi(x, key=1, maxiter=150)
+    st, vlb = m.fit_svi(x, key=2, maxiter=400, step_size=1.0,
+                        batch_size=512, forgetting=0.55, delay=4.0,
+                        track_elbo=True)
+    assert np.isfinite(np.asarray(vlb)).all()
+    assert vlb[-1] > vi_vlb[-1] - 0.02 * abs(float(vi_vlb[-1])), (
+        f'scheduled SVI ELBO {vlb[-1]} far below VI {vi_vlb[-1]}')
+
+
 def test_em_monotone_and_recovers(data):
     """Best-of-3 restarts (EM has local optima; the reference's examples use
     best-of-N ELBO selection, examples/gmm/sine/svi_gmm.py:57-67)."""
