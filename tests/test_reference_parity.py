@@ -488,3 +488,230 @@ def test_ilr_step_end_to_end_parity(rng):
     theirs = float(np.sqrt(np.mean((mu_ref - y) ** 2)))
 
     assert abs(ours - theirs) < 0.15, (ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal (Normal-Gamma) family oracles.
+#
+# NOTE: the reference's StackedNormalGammas cannot serve as an oracle — its
+# alphas/betas setters are buggy (composite.py:474-484 assign to nonexistent
+# gamma.psi / gamma.nu attributes, so stacked nat_param assignment silently
+# leaves the Gamma part of the posterior at its prior values). The SCALAR
+# NormalGamma (composite.py:286-400) has correct setters and is the oracle
+# here, applied per component.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def diag_problem(rng):
+    k, d, n = 4, 3, 80
+    x = rng.standard_normal((n, d)) * 1.5 + 0.5
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    mus = rng.standard_normal((k, d))
+    kappas = rng.uniform(0.5, 2.0, (k, d))
+    alphas = rng.uniform(1.5, 3.0, (k, d))
+    betas = rng.uniform(0.5, 2.0, (k, d))
+    return x, resp, mus, kappas, alphas, betas
+
+
+def test_ng_posterior_update_parity(diag_problem):
+    """posterior.nat_param = prior.nat_param + weighted_statistics for the
+    diagonal pair (bayesian.py:385-391) vs our ng.posterior_update."""
+    from mimo.distributions import NormalGamma, GaussianWithDiagonalPrecision
+    from mimo_tpu.distributions import ng as jng
+
+    x, resp, mus, kappas, alphas, betas = diag_problem
+    k, d = mus.shape
+    prior = jng.NG(*(jnp.asarray(a) for a in (mus, kappas, alphas, betas)))
+    ours = jng.posterior_update(
+        prior, jng.suff_stats(jnp.asarray(x), jnp.asarray(resp)))
+
+    for i in range(k):
+        pr = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        lik = GaussianWithDiagonalPrecision(dim=d, mu=mus[i].copy(),
+                                            lmbda_diag=np.ones(d))
+        stats = lik.weighted_statistics(x, resp[:, i])
+        po = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        po.nat_param = pr.nat_param + stats
+        mu_r, kappa_r, alpha_r, beta_r = po.params
+        np.testing.assert_allclose(np.asarray(ours.mu[i]), mu_r, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(ours.kappa[i]), kappa_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.alpha[i]), alpha_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.beta[i]), beta_r,
+                                   rtol=1e-7)
+
+
+def test_ng_expected_log_likelihood_parity(diag_problem):
+    """StackedGaussiansWithNormalGammas.expected_log_likelihood
+    (bayesian.py:428-486) vs our fused (N, K) form.
+
+    Two more reference bugs force the oracle construction used here:
+    (a) the SCALAR pair's expected_log_likelihood crashes, because scalar
+    GaussianWithDiagonalPrecision.statistics ignores fold=False
+    (gaussian.py:648-658) and feeds folded (d,) stats into 'd,nd->n'
+    einsums; (b) the stacked posterior cannot be set via nat_param (the
+    setter bug above). So: compute the posterior per-component with the
+    scalar NormalGamma (validated by test_ng_posterior_update_parity),
+    CONSTRUCT a StackedNormalGammas with those values, and call the
+    stacked ell (whose getters are fine)."""
+    from mimo.distributions import (NormalGamma, StackedNormalGammas,
+                                    GaussianWithDiagonalPrecision,
+                                    StackedGaussiansWithDiagonalPrecision)
+    from mimo.distributions.bayesian import StackedGaussiansWithNormalGammas
+    from mimo_tpu.distributions import ng as jng
+
+    x, resp, mus, kappas, alphas, betas = diag_problem
+    k, d = mus.shape
+    prior = jng.NG(*(jnp.asarray(a) for a in (mus, kappas, alphas, betas)))
+    post = jng.posterior_update(
+        prior, jng.suff_stats(jnp.asarray(x), jnp.asarray(resp)))
+    ours = np.asarray(jng.expected_log_likelihood(post, jnp.asarray(x)))
+
+    mu_p = np.empty((k, d)); kap_p = np.empty((k, d))
+    al_p = np.empty((k, d)); be_p = np.empty((k, d))
+    for i in range(k):
+        pr = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        lik = GaussianWithDiagonalPrecision(dim=d, mu=mus[i].copy(),
+                                            lmbda_diag=np.ones(d))
+        stats = lik.weighted_statistics(x, resp[:, i])
+        po = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        po.nat_param = pr.nat_param + stats
+        mu_p[i], kap_p[i], al_p[i], be_p[i] = po.params
+
+    prior_s = StackedNormalGammas(k, d, mus=mus.copy(), kappas=kappas.copy(),
+                                  alphas=alphas.copy(), betas=betas.copy())
+    lik_s = StackedGaussiansWithDiagonalPrecision(
+        size=k, dim=d, mus=mus.copy(), lmbdas_diags=np.ones((k, d)))
+    pair = StackedGaussiansWithNormalGammas(k, d, prior_s, likelihood=lik_s)
+    pair.posterior = StackedNormalGammas(k, d, mus=mu_p, kappas=kap_p,
+                                         alphas=al_p, betas=be_p)
+    theirs = pair.expected_log_likelihood(x)      # (K, N)
+    np.testing.assert_allclose(ours, np.asarray(theirs).T, rtol=1e-7)
+
+
+def test_mng_posterior_update_parity(rng):
+    """Scalar MatrixNormalGamma nat add (composite.py:838-862,
+    bayesian.py:1006-1084) vs our mng.posterior_update; diagonal-noise
+    linear experts."""
+    from mimo.distributions import (MatrixNormalGamma,
+                                    LinearGaussianWithDiagonalPrecision)
+    from mimo_tpu.distributions import mng as jmng
+    from mimo_tpu.distributions import mnw as jmnw
+
+    k, p, q, n = 3, 2, 3, 60
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, p))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    Ms = rng.standard_normal((k, p, q))
+    a = rng.standard_normal((k, q, q))
+    Ks = np.einsum('kij,klj->kil', a, a) + 2 * np.eye(q)
+    alphas = rng.uniform(1.5, 3.0, (k, p))
+    betas = rng.uniform(0.5, 2.0, (k, p))
+
+    prior = jmng.MNG(M=jnp.asarray(Ms), K_=jnp.asarray(Ks),
+                     alpha=jnp.asarray(alphas), beta=jnp.asarray(betas))
+    stats = jmnw.suff_stats(jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(resp))
+    ours = jmng.posterior_update(prior, stats)
+
+    for i in range(k):
+        pr = MatrixNormalGamma(q, p, M=Ms[i].copy(), K=Ks[i].copy(),
+                               alphas=alphas[i].copy(),
+                               betas=betas[i].copy())
+        lik = LinearGaussianWithDiagonalPrecision(
+            q, p, A=Ms[i].copy(), lmbda_diag=np.ones(p), affine=False)
+        st = lik.weighted_statistics(x, y, resp[:, i])
+        po = MatrixNormalGamma(q, p, M=Ms[i].copy(), K=Ks[i].copy(),
+                               alphas=alphas[i].copy(),
+                               betas=betas[i].copy())
+        po.nat_param = pr.nat_param + st
+        M_r, K_r, alpha_r, beta_r = po.params
+        np.testing.assert_allclose(np.asarray(ours.M[i]), M_r, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(ours.K_[i]), K_r, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(ours.alpha[i]), alpha_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.beta[i]), beta_r,
+                                   rtol=1e-6)
+
+
+def test_niw_svi_blend_parity(gauss_problem):
+    """meanfield_sgd: nat <- (1-rho) nat + rho (prior.nat + stats/scale)
+    (bayesian.py:232-238, scalar path :394-399) vs our niw svi_blend."""
+    from mimo.distributions import NormalWishart, GaussianWithPrecision
+    from mimo.distributions.bayesian import GaussianWithNormalWishart
+    from mimo_tpu.distributions import niw as jniw2
+
+    x, resp, mus, kappas, psis, nus = gauss_problem
+    k, d = mus.shape
+    scale, step = 0.25, 0.7
+    # warm posterior from a first batch, then one SVI blend on a second
+    x1, x2 = x[:40], x[40:]
+    r1, r2 = resp[:40], resp[40:]
+
+    prior = jniw.NIW(mu=jnp.asarray(mus), kappa=jnp.asarray(kappas),
+                     psi=jnp.asarray(psis), nu=jnp.asarray(nus))
+    post = jniw.posterior_update(prior, jniw.suff_stats(jnp.asarray(x1),
+                                                        jnp.asarray(r1)))
+    ours = jniw2.svi_blend(post, prior,
+                           jniw.suff_stats(jnp.asarray(x2),
+                                           jnp.asarray(r2)), scale, step)
+
+    for i in range(k):
+        pr = NormalWishart(d, mu=mus[i].copy(), kappa=float(kappas[i]),
+                           psi=psis[i].copy(), nu=float(nus[i]))
+        lik = GaussianWithPrecision(dim=d, mu=mus[i].copy(),
+                                    lmbda=np.eye(d))
+        pair = GaussianWithNormalWishart(d, pr, likelihood=lik)
+        s1 = lik.weighted_statistics(x1, r1[:, i])
+        pair.posterior.nat_param = pair.prior.nat_param + s1
+        s2 = lik.weighted_statistics(x2, r2[:, i])
+        pair.posterior.nat_param = \
+            (1.0 - step) * pair.posterior.nat_param \
+            + step * (pair.prior.nat_param + 1.0 / scale * s2)
+        mu_r, kappa_r, psi_r, nu_r = pair.posterior.params
+        np.testing.assert_allclose(np.asarray(ours.mu[i]), mu_r, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(ours.kappa[i]), kappa_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.psi[i]), psi_r,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ours.nu[i]), nu_r, rtol=1e-10)
+
+
+def test_tied_niw_update_parity(gauss_problem):
+    """TiedGaussiansWithNormalWisharts.meanfield_update pools psi/nu across
+    K during nat_to_std (composite.py:275-283) vs our tied_family update."""
+    from mimo.distributions import TiedNormalWisharts
+    from mimo.distributions import TiedGaussiansWithNormalWisharts
+    from mimo.distributions import TiedGaussiansWithPrecision
+    from mimo_tpu.conjugate.families import gaussian_family, tied_family
+
+    x, resp, mus, kappas, psis, nus = gauss_problem
+    k, d = mus.shape
+    # tied reference wants one shared psi/nu to start
+    psis_t = np.stack(k * [psis[0]])
+    nus_t = np.full(k, nus[0])
+
+    pr = TiedNormalWisharts(size=k, dim=d, mus=mus.copy(),
+                            kappas=kappas.copy(), psis=psis_t.copy(),
+                            nus=nus_t.copy())
+    lik = TiedGaussiansWithPrecision(size=k, dim=d, mus=mus.copy(),
+                                     lmbdas=np.tile(np.eye(d), (k, 1, 1)))
+    pair = TiedGaussiansWithNormalWisharts(k, d, pr, likelihood=lik)
+    stats = lik.weighted_statistics(x, resp.T)
+    pair.posterior.nat_param = pair.prior.nat_param + stats
+    mu_r, kappa_r, psi_r, nu_r = pair.posterior.params
+
+    fam = tied_family(gaussian_family())
+    prior = jniw.NIW(mu=jnp.asarray(mus), kappa=jnp.asarray(kappas),
+                     psi=jnp.asarray(psis_t), nu=jnp.asarray(nus_t))
+    ours = fam.update(prior, fam.suff_stats((jnp.asarray(x),),
+                                            jnp.asarray(resp)))
+    np.testing.assert_allclose(np.asarray(ours.mu), mu_r, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(ours.kappa), kappa_r, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours.psi), psi_r, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.nu), nu_r, rtol=1e-10)
