@@ -96,18 +96,24 @@ def flagship_fit(model, data, cfg: TrainConfig):
     (evaluate_sine.py:131-155; --stochastic/--deterministic select the
     engines, --early_stop is the VI tol). Returns (model, MFState)."""
     from mimo_tpu.models.mixture import MFState
+    engines = cfg.engine.split('+')
+    bad = [e for e in engines if e not in ('svi', 'vi')]
+    if bad:
+        raise ValueError(
+            f"TrainConfig.engine={cfg.engine!r}: unknown engine(s) {bad}; "
+            f"use 'svi', 'vi', or 'svi+vi'")
     g = model.fit_gibbs(data, key=cfg.seed, maxiter=cfg.gibbs_iters,
                         init_labels='random')
     state = MFState(g.components, g.gating)
     for it in range(cfg.super_iters):
-        if 'svi' in cfg.engine:
+        if 'svi' in engines:
             state, _ = model.fit_svi(
                 data, key=cfg.seed + it + 1, maxiter=cfg.svi_iters,
                 step_size=cfg.svi_step_size,
                 batch_size=cfg.svi_batch_size,
                 forgetting=cfg.svi_forgetting, delay=cfg.svi_delay,
                 init_state=state, randomize=False)
-        if 'vi' in cfg.engine.replace('svi', ''):
+        if 'vi' in engines:
             state, _ = model.fit_vi(
                 data, key=cfg.seed + it + 1, maxiter=cfg.vi_iters,
                 tol=cfg.tol, init_state=state, randomize=False)

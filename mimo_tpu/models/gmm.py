@@ -155,7 +155,7 @@ class BayesianGMM(BayesianMixture):
                     return new, vlb
 
                 from mimo_tpu.models.mixture import _elbo_loop
-                state, vlb = _elbo_loop(step, state, maxiter, tol, x.dtype)
+                state, vlb = _elbo_loop(step, state, maxiter, tol)
                 return state, vlb
 
             self._cache[cache_key] = jax.jit(run)

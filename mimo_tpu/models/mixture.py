@@ -53,7 +53,7 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def _elbo_loop(step, carry0, maxiter, tol, dtype):
+def _elbo_loop(step, carry0, maxiter, tol):
     """Run `carry, vlb = step(carry, i)` for up to `maxiter` sweeps.
 
     With `tol` (the reference's VI stopping rule, gmm.py:279-283:
@@ -61,16 +61,25 @@ def _elbo_loop(step, carry0, maxiter, tol, dtype):
     `lax.while_loop` that actually stops early on device; the returned
     (maxiter,) trace is constant-extended past convergence so the shape
     stays static under jit. With tol=None it is a plain `lax.scan`.
+
+    A NaN ELBO never satisfies the stop rule (the reference's
+    `abs(delta) < tol` is also False for NaN), so divergence keeps
+    iterating rather than masquerading as convergence.
     """
     if tol is None:
         return jax.lax.scan(step, carry0, jnp.arange(maxiter))
 
+    # the trace/carry slots must match the ELBO's promoted dtype (e.g. the
+    # Pallas E-step accumulates in f32 regardless of the data dtype)
+    _, vlb_sd = jax.eval_shape(step, carry0, jnp.zeros((), jnp.int32))
+    dtype = vlb_sd.dtype
     trace0 = jnp.zeros((maxiter,), dtype)
     big = jnp.array(jnp.inf, dtype)
 
     def cond(c):
         i, _, prev, cur, _ = c
-        return (i < maxiter) & ((i < 2) | (jnp.abs(cur - prev) >= tol))
+        converged = jnp.abs(cur - prev) < tol   # False for NaN: keep going
+        return (i < maxiter) & ((i < 2) | ~converged)
 
     def body(c):
         i, carry, _, cur, trace = c
@@ -201,6 +210,9 @@ class BayesianMixture:
                           warm=init_state is not None, mesh=mesh)
 
         def run(data, key, init_state, tol):
+            # n from the traced data, NOT the enclosing scope: the jitted
+            # closure is cached per static key and reused across datasets
+            n = data[0].shape[0]
             if randomize or init_state is None:
                 resp = _random_resp(key, n, self.size, data[0].dtype)
                 state = self._mf_update(data, resp)
@@ -227,8 +239,7 @@ class BayesianMixture:
                     gating=self.gating_prior.update(res.counts))
                 return new, vlb
 
-            state, vlb = _elbo_loop(step, state, maxiter, tol,
-                                    data[0].dtype)
+            state, vlb = _elbo_loop(step, state, maxiter, tol)
             return state, vlb
 
         return fn(run, data, key, init_state, tol)
@@ -268,6 +279,7 @@ class BayesianMixture:
                           block_size=block_size, mesh=mesh)
 
         def run(data, key):
+            n = data[0].shape[0]     # from traced data, not enclosing scope
             comp = self.components_prior
             gating = self.gating_prior
             params0 = self.family.mode_params(comp)
@@ -374,7 +386,7 @@ class BayesianMixture:
 
             (state, resp), vlb = _elbo_loop(
                 step, (state, self.expected_responsibilities(state, data)),
-                maxiter, tol, data[0].dtype)
+                maxiter, tol)
             return state, vlb
 
         return fn(run, data, key, init_state, point_weights, tol)
@@ -465,7 +477,10 @@ class BayesianMixture:
         scale = batch_size / total_size
         step_key = ('svi_stream',)
         if step_key not in self._cache:
-            def one_step(state, batch, step_size):
+            # scale/step_size are traced args, NOT closure captures: the
+            # jitted step is cached once per model and reused across calls
+            # with different total_size/batch_size
+            def one_step(state, batch, scale, step_size):
                 resp = self.expected_responsibilities(state, batch)
                 stats = self.family.suff_stats(batch, resp)
                 counts = jnp.sum(resp, axis=0)
@@ -489,7 +504,7 @@ class BayesianMixture:
             batch = _as_tuple(next_batch(i))
             rho = step_size if forgetting is None \
                 else step_size * (i + 1.0 + delay) ** -forgetting
-            state = step_fn(state, batch, rho)
+            state = step_fn(state, batch, scale, rho)
         return jax.block_until_ready(state)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------

@@ -122,3 +122,94 @@ def test_ilr_generate(rng, key):
     assert abs(x[z == 1].mean() - 2.0) < 0.1
     np.testing.assert_allclose(y[z == 0, 0], x[z == 0, 0], atol=0.5)
     np.testing.assert_allclose(y[z == 1, 0], -x[z == 1, 0], atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Regression tests for jit-cache and early-stop edge cases
+# ---------------------------------------------------------------------------
+
+def _toy_gmm(dtype=jnp.float64):
+    from mimo_tpu.models.gmm import BayesianGMM
+    return BayesianGMM.make(size=4, dim=2, gating='dirichlet', alpha=1.0,
+                            kappa=0.05, psi_scale=0.5, dtype=dtype)
+
+
+def test_fused_refit_different_n(rng):
+    """The jitted fused runners must not capture the first dataset's N:
+    refitting the same model on a different-sized dataset with the same
+    block_size has to work (regression: stale-n closure in
+    fit_vi_fused/fit_gibbs_fused)."""
+    m = _toy_gmm()
+    x1 = jnp.asarray(rng.standard_normal((256, 2)))
+    x2 = jnp.asarray(rng.standard_normal((512, 2)))
+    _, v1 = m.fit_vi_fused(x1, key=0, maxiter=5, block_size=64)
+    _, v2 = m.fit_vi_fused(x2, key=0, maxiter=5, block_size=64)
+    assert np.isfinite(np.asarray(v1)).all()
+    assert np.isfinite(np.asarray(v2)).all()
+    g1 = m.fit_gibbs_fused(x1, key=0, maxiter=3, block_size=64)
+    g2 = m.fit_gibbs_fused(x2, key=0, maxiter=3, block_size=64)
+    assert g1.labels.shape == (256,) and g2.labels.shape == (512,)
+
+
+def test_svi_stream_scale_not_cached(rng):
+    """fit_svi_stream's jitted step must take the stochastic scale B/N as a
+    traced argument: a second call with a different total_size must match a
+    fresh model's result, not reuse the first call's scale (regression:
+    scale captured in the cached closure)."""
+    from mimo_tpu.models.mixture import MFState
+    x = jnp.asarray(rng.standard_normal((512, 2)) + 3.0)
+    batches = [x[i * 64:(i + 1) * 64] for i in range(8)]
+    nb = lambda i: batches[i % 8]
+
+    m = _toy_gmm()
+    st0, _ = m.fit_vi(x, key=0, maxiter=3)      # deterministic warm start
+    # poison the cache with a small total_size
+    m.fit_svi_stream(nb, total_size=64, key=1, maxiter=8, step_size=0.5,
+                     batch_size=64, init_state=st0)
+    got = m.fit_svi_stream(nb, total_size=512, key=1, maxiter=8,
+                           step_size=0.5, batch_size=64, init_state=st0)
+
+    fresh = _toy_gmm()
+    fresh.fit_vi(x, key=0, maxiter=1)           # build caches independently
+    want = fresh.fit_svi_stream(nb, total_size=512, key=1, maxiter=8,
+                                step_size=0.5, batch_size=64,
+                                init_state=st0)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_flagship_engine_validation():
+    from mimo_tpu.config import TrainConfig, flagship_fit
+    m = _toy_gmm()
+    x = jnp.zeros((8, 2))
+    for bad in ('deterministic', 'stochastic', 'sv', ''):
+        with pytest.raises(ValueError, match='unknown engine'):
+            flagship_fit(m, x, TrainConfig(engine=bad))
+
+
+def test_elbo_loop_nan_keeps_iterating():
+    """A NaN ELBO must not satisfy the |dELBO| < tol stop rule (the
+    reference's abs(delta) < tol is also False for NaN)."""
+    from mimo_tpu.models.mixture import _elbo_loop
+
+    def step(c, i):
+        return c + 1, jnp.full((), jnp.nan, jnp.float32)
+
+    final, trace = jax.jit(
+        lambda: _elbo_loop(step, jnp.zeros((), jnp.int32), 7, 1e-3))()
+    assert int(final) == 7          # ran all sweeps, no fake convergence
+    assert np.isnan(np.asarray(trace)).all()
+
+
+def test_elbo_loop_dtype_promotion():
+    """The while-loop carry must follow the ELBO's promoted dtype, not the
+    data dtype (regression: bf16 data with an f32-accumulating E-step)."""
+    from mimo_tpu.models.mixture import _elbo_loop
+
+    def step(c, i):
+        # bf16 carry, f32 ELBO — like the Pallas E-step on bf16 data
+        return c, jnp.ones((), jnp.float32)
+
+    carry0 = jnp.zeros((), jnp.bfloat16)
+    _, trace = jax.jit(lambda: _elbo_loop(step, carry0, 5, 1e-3))()
+    assert trace.dtype == jnp.float32
