@@ -357,13 +357,16 @@ class BayesianMixtureOfMixtures:
         bayesian.py:232-238 applied at both levels)."""
         data = self._tx_data(data)
         key = _as_key(key)
-        n = data[0].shape[0]
-        scale = batch_size / n
         fn = self._jit('svi', maxiter=maxiter, batch_size=batch_size,
                        maxsubiter=maxsubiter, randomize=randomize,
                        warm=init_state is not None)
 
         def run(data, key, init_state):
+            # n/scale from the traced data, not the enclosing scope: the
+            # jitted closure is cached per static key and reused across
+            # datasets of different size
+            n = data[0].shape[0]
+            scale = batch_size / n
             m = self.cluster_size
             if randomize or init_state is None:
                 k1, k2, key = jax.random.split(key, 3)
