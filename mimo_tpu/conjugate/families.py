@@ -18,6 +18,7 @@ with leading axis N; `resp` is (N, K); per-point outputs are (N, K).
 All functions are jit/vmap/pjit-safe; K components are a batch axis.
 """
 
+from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -330,13 +331,16 @@ _POOLERS = {_niw.NIW: _pool_niw, _mnw.MNW: _pool_mnw, _ng.NG: _pool_ng,
             _mng.MNG: _pool_mng}
 
 
-def _tied_ml(stats):
+def _tied_ml(stats, base_ml):
     """Pooled-scale weighted maximum likelihood: per-component means/slopes,
     one shared covariance from the summed residual scatter
     (TiedGaussiansWithPrecision.max_likelihood, gaussian.py:550-572;
-    TiedLinearGaussians, lingauss.py:379-398)."""
-    if isinstance(stats, _niw.GaussStats):
-        params = _niw.ml_params(stats)
+    TiedLinearGaussians, lingauss.py:379-398; diagonal analogues
+    gaussian.py:865-888, lingauss.py:1107-1130). Dispatches on the BASE
+    family's ML params type — mnw and mng share LinGaussStats, so the
+    stats type alone cannot distinguish full from diagonal noise."""
+    params = base_ml(stats)
+    if isinstance(params, _niw.GaussParams):
         n = jnp.maximum(stats.n1, 1e-8)
         scatter = stats.xxT - n[..., None, None] \
             * params.mu[..., :, None] * params.mu[..., None, :]
@@ -345,8 +349,7 @@ def _tied_ml(stats):
                                                    dtype=sigma.dtype))
         return params._replace(lmbda=jnp.broadcast_to(lm,
                                                       params.lmbda.shape))
-    if isinstance(stats, _mnw.LinGaussStats):
-        params = _mnw.ml_params(stats)
+    if isinstance(params, _mnw.LinGaussParams):
         n = jnp.maximum(stats.n, 1e-8)
         resid = stats.yyT - params.A @ jnp.swapaxes(stats.yxT, -1, -2)
         sigma = jnp.sum(resid, axis=0, keepdims=True) / jnp.sum(n)
@@ -355,7 +358,22 @@ def _tied_ml(stats):
         lm = jnp.linalg.inv(sigma)
         return params._replace(lmbda=jnp.broadcast_to(lm,
                                                       params.lmbda.shape))
-    raise TypeError(f'no tied ML for {type(stats).__name__}')
+    if isinstance(params, _ng.DiagGaussParams):
+        n = jnp.maximum(stats.n1, 1e-8)
+        scatter = stats.xsq - n[..., None] * jnp.square(params.mu)
+        sigma = jnp.sum(scatter, axis=0, keepdims=True) / jnp.sum(n)
+        ld = 1.0 / (sigma + 1e-8)
+        return params._replace(
+            lmbda_diag=jnp.broadcast_to(ld, params.lmbda_diag.shape))
+    if isinstance(params, _mng.DiagLinGaussParams):
+        n = jnp.maximum(stats.n, 1e-8)
+        resid = stats.yyT - params.A @ jnp.swapaxes(stats.yxT, -1, -2)
+        sigma = jnp.sum(jnp.diagonal(resid, axis1=-2, axis2=-1),
+                        axis=0, keepdims=True) / jnp.sum(n)
+        ld = 1.0 / (sigma + 1e-8)
+        return params._replace(
+            lmbda_diag=jnp.broadcast_to(ld, params.lmbda_diag.shape))
+    raise TypeError(f'no tied ML for {type(params).__name__}')
 
 
 def tied_family(base: Family, pooler=None) -> Family:
@@ -371,5 +389,6 @@ def tied_family(base: Family, pooler=None) -> Family:
         update=lambda prior, stats: pool(base.update(prior, stats)),
         svi_blend=lambda post, prior, stats, scale, step: pool(
             base.svi_blend(post, prior, stats, scale, step)),
-        ml_update=_tied_ml if base.ml_update is not None else None,
+        ml_update=(None if base.ml_update is None
+                   else partial(_tied_ml, base_ml=base.ml_update)),
     )

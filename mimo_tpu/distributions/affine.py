@@ -147,8 +147,6 @@ def gibbs_update(key, prior: TiedAffine, stats: AffineStats,
     def body(carry, key_i):
         post, _ = carry
         k_c, k_l, k_a = jax.random.split(key_i, 3)
-        # sample offsets from their current conditionals
-        lmbda_c = post.nu * post.psi                         # E-ish scale for init
         # c_k ~ N(mus, (kappas * Lambda)^{-1}) with the last Lambda draw
         # (the reference uses the per-k sampled Lambda; we use a fresh draw)
         lmbdas = wishart_sample(k_l, jnp.broadcast_to(post.psi, (k, p, p)),
@@ -166,8 +164,11 @@ def gibbs_update(key, prior: TiedAffine, stats: AffineStats,
         za = jax.random.normal(k_a, (k, p, q), dtype=m_n.dtype)
         u = jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(chol, -1, -2), za, lower=False)
+        # column covariance k_n^{-1} = Lk^{-T} Lk^{-1}: solve against the
+        # transposed Cholesky (Lk itself would give (Lk^T Lk)^{-1})
         w = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-            k_chol, jnp.swapaxes(u, -1, -2), lower=True), -1, -2)
+            jnp.swapaxes(k_chol, -1, -2), jnp.swapaxes(u, -1, -2),
+            lower=False), -1, -2)
         a_s = m_n[None] + w
 
         axm = jnp.einsum('kpq,kq->kp', a_s, stats.xm)

@@ -101,8 +101,10 @@ def matrix_normal_sample(key, m, v, k):
     z = jax.random.normal(key, m.shape, m.dtype)
     u = jax.scipy.linalg.solve_triangular(jnp.swapaxes(lv, -1, -2), z,
                                           lower=False)
+    # column covariance K^{-1} = Lk^{-T} Lk^{-1}: solve against Lk^T
     return m + jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-        lk, jnp.swapaxes(u, -1, -2), lower=True), -1, -2)
+        jnp.swapaxes(lk, -1, -2), jnp.swapaxes(u, -1, -2),
+        lower=False), -1, -2)
 
 
 # -- covariance-parameterized Gaussian (gaussian.py:125-250) ------------------

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln
 
 from mimo_tpu.utils.linalg import (
-    cholesky, inv_psd, symmetrize, quad_form, solve_psd,
+    cholesky, chol_logdet, inv_psd, symmetrize, quad_form, solve_psd,
 )
 from mimo_tpu.utils.stats import LOG2PI
 from mimo_tpu.distributions.mnw import LinGaussStats, augment, suff_stats  # reuse
@@ -116,8 +116,7 @@ def log_partition(p: MNG):
     (composite.py diag analogue)."""
     pd = p.row_dim
     k_chol = cholesky(p.K_)
-    logdet_k = 2.0 * jnp.sum(jnp.log(jnp.diagonal(k_chol, axis1=-2, axis2=-1)),
-                             axis=-1)
+    logdet_k = chol_logdet(k_chol)
     return (-0.5 * pd * logdet_k
             + jnp.sum(gammaln(p.alpha) - p.alpha * jnp.log(p.beta), axis=-1))
 
@@ -151,9 +150,11 @@ def sample_params(key, p: MNG) -> DiagLinGaussParams:
     lmbda = jax.random.gamma(k_g, p.alpha, dtype=p.alpha.dtype) / p.beta  # (K, p)
     k_chol = cholesky(p.K_)
     z = jax.random.normal(k_n, p.M.shape, dtype=p.M.dtype)
-    # rows: a_i = M_i + (1/sqrt(lambda_i)) z_i K_chol^{-1}
+    # rows: a_i = M_i + (1/sqrt(lambda_i)) z_i Lk^{-1}; row covariance must
+    # be K^{-1} = Lk^{-T} Lk^{-1}, so solve against the transposed Cholesky
     w = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-        k_chol, jnp.swapaxes(z, -1, -2), lower=True), -1, -2)
+        jnp.swapaxes(k_chol, -1, -2), jnp.swapaxes(z, -1, -2),
+        lower=False), -1, -2)
     a = p.M + w / jnp.sqrt(lmbda)[..., None]
     return DiagLinGaussParams(A=a, lmbda_diag=lmbda)
 
@@ -169,16 +170,22 @@ def mean_params(p: MNG) -> DiagLinGaussParams:
 def ml_params(stats, jitter=1e-8) -> DiagLinGaussParams:
     """Weighted diagonal-noise maximum likelihood (lingauss.py:884-903):
     shared A solve, per-output residual variances. Collapsed components
-    get A=0, unit noise."""
-    from mimo_tpu.distributions.mnw import ml_params as _mnw_ml
-    full = _mnw_ml(stats, jitter)
-    dead = (stats.n < stats.xxT.shape[-1] + 1.0)[..., None]
+    get A=0, unit noise. (Direct solve — the full-covariance ml_params
+    would also build and invert the p x p residual covariance only to be
+    discarded here.)"""
+    q = stats.xxT.shape[-1]
     n = jnp.maximum(stats.n, 1e-8)[..., None]
+    dead = (stats.n < q + 1.0)[..., None]
+    xxr = jnp.where(dead[..., None],
+                    jnp.eye(q, dtype=stats.xxT.dtype),
+                    stats.xxT + jitter * jnp.eye(q, dtype=stats.xxT.dtype))
+    a = jnp.swapaxes(solve_psd(xxr, jnp.swapaxes(stats.yxT, -1, -2)), -1, -2)
+    a = jnp.where(dead[..., None], 0.0, a)
     resid = jnp.maximum(
-        jnp.diagonal(stats.yyT - full.A @ jnp.swapaxes(stats.yxT, -1, -2),
+        jnp.diagonal(stats.yyT - a @ jnp.swapaxes(stats.yxT, -1, -2),
                      axis1=-2, axis2=-1) / n, jitter)
     resid = jnp.where(dead, 1.0, resid)
-    return DiagLinGaussParams(A=full.A, lmbda_diag=1.0 / resid)
+    return DiagLinGaussParams(A=a, lmbda_diag=1.0 / resid)
 
 
 def log_likelihood(params: DiagLinGaussParams, x, y):

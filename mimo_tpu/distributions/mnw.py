@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from mimo_tpu.utils.linalg import (
-    cholesky, inv_psd, symmetrize, quad_form, solve_psd,
+    cholesky, chol_logdet, inv_psd, symmetrize, quad_form, solve_psd,
 )
 from mimo_tpu.utils.stats import LOG2PI, mvn_logpdf, mvt_logpdf
 from mimo_tpu.distributions.wishart import (
@@ -174,8 +174,7 @@ def log_partition(p: MNW):
     pd = p.row_dim
     psi_chol = cholesky(p.psi)
     k_chol = cholesky(p.K_)
-    logdet_k = 2.0 * jnp.sum(jnp.log(jnp.diagonal(k_chol, axis1=-2, axis2=-1)),
-                             axis=-1)
+    logdet_k = chol_logdet(k_chol)
     return -0.5 * pd * logdet_k + wishart_log_partition(psi_chol, p.nu)
 
 
@@ -201,9 +200,13 @@ def sample_params(key, p: MNW) -> LinGaussParams:
     # left: solve L^T u = z  (rows ~ Lambda^{-1})
     u = jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(l_chol, -1, -2), z, lower=False)
-    # right: v K_chol^{T} ... A-M = u @ K_chol^{-1}: solve (K_chol) w^T = u^T
+    # right: A-M = u @ K_chol^{-T}': column covariance must be
+    # K^{-1} = Lk^{-T} Lk^{-1}, so w^T = Lk^{-T} u^T (solve against the
+    # TRANSPOSED Cholesky; solving against Lk itself would give
+    # (Lk^T Lk)^{-1} — wrong for any non-diagonal K)
     w = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-        k_chol, jnp.swapaxes(u, -1, -2), lower=True), -1, -2)
+        jnp.swapaxes(k_chol, -1, -2), jnp.swapaxes(u, -1, -2),
+        lower=False), -1, -2)
     return LinGaussParams(A=p.M + w, lmbda=lmbda)
 
 
@@ -252,8 +255,7 @@ def log_likelihood(params: LinGaussParams, x, y):
     cross = yx @ la.reshape(k, pd * q).T
     quad_y = quad_form(y, params.lmbda, None)
     quad_x = quad_form(x, ala, None)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cholesky(params.lmbda),
-                                                axis1=-2, axis2=-1)), axis=-1)
+    logdet = chol_logdet(cholesky(params.lmbda))
     return (-0.5 * (quad_y - 2.0 * cross + quad_x)
             + 0.5 * (logdet - pd * LOG2PI))
 
@@ -278,9 +280,7 @@ def log_predictive_studentt(p: MNW, x, y):
     base_quad = jnp.einsum('nkp,kpr,nkr->nk', yc, p.psi, yc)
     delta = (df / c) * base_quad
     from jax.scipy.special import gammaln
-    psi_chol = cholesky(p.psi)
-    logdet_psi = 2.0 * jnp.sum(jnp.log(jnp.diagonal(psi_chol, axis1=-2, axis2=-1)),
-                               axis=-1)
+    logdet_psi = chol_logdet(cholesky(p.psi))
     logdet_lmbda = pd * jnp.log(df / c) + logdet_psi          # (N, K)
     halfdfd = 0.5 * (df + pd)
     aux = (gammaln(halfdfd) - gammaln(0.5 * df)
@@ -296,9 +296,7 @@ def log_predictive_gaussian(p: MNW, x, y):
     yc = y[:, None, :] - mus
     base_quad = jnp.einsum('nkp,kpr,nkr->nk', yc, p.psi, yc)
     quad = (df / c) * base_quad
-    psi_chol = cholesky(p.psi)
-    logdet_psi = 2.0 * jnp.sum(jnp.log(jnp.diagonal(psi_chol, axis1=-2, axis2=-1)),
-                               axis=-1)
+    logdet_psi = chol_logdet(cholesky(p.psi))
     logdet = pd * jnp.log(df / c) + logdet_psi
     return 0.5 * (logdet - pd * LOG2PI) - 0.5 * quad
 

@@ -39,10 +39,14 @@ class EStepResult(NamedTuple):
 def pick_block_size(n, target=131072, multiple=1):
     """Largest divisor of n that is <= target and a multiple of `multiple`
     (Mosaic lane tiling needs multiples of 128; XLA scan blocks are free).
-    Falls back to n itself when no such divisor exists."""
+    Falls back to n itself when the best divisor is degenerate — a tiny
+    divisor (e.g. 1 for prime n) would turn the blockwise scan into an
+    n-step sequential loop, far worse than one big block."""
     for b in range(min(n, target), multiple - 1, -1):
         if n % b == 0 and b % multiple == 0:
-            return b
+            if b >= min(n, max(multiple, target // 64)):
+                return b
+            break
     return n
 
 

@@ -37,6 +37,7 @@ from mimo_tpu.distributions import mnw as _mnw
 from mimo_tpu.distributions import ng as _ng
 from mimo_tpu.distributions import niw as _niw
 from mimo_tpu.distributions.mnw import augment
+from mimo_tpu.utils.linalg import logdet_psd
 from mimo_tpu.utils.stats import LOG2PI
 
 
@@ -81,18 +82,13 @@ def gaussian_spec() -> EStepSpec:
         mu, lm = params.mu, params.lmbda
         d = mu.shape[-1]
         lmu = jnp.einsum('kde,ke->kd', lm, mu)
-        logdet = _logdet_psd(lm)
+        logdet = logdet_psd(lm)
         c = (-0.5 * jnp.einsum('kd,kd->k', mu, lmu) + 0.5 * logdet
              - 0.5 * d * LOG2PI)
         return jnp.concatenate(
             [c[:, None], lmu, -0.5 * lm.reshape(-1, d * d)], axis=-1)
 
     return EStepSpec(features, theta, _unpack_gauss, theta_plugin)
-
-
-def _logdet_psd(a):
-    from mimo_tpu.utils.linalg import logdet_psd
-    return logdet_psd(a)
 
 
 def _unpack_gauss(acc):
@@ -180,7 +176,7 @@ def linear_spec(affine: bool = True, p_dim: int = None,
         pd, qd = a.shape[-2], a.shape[-1]
         la = lm @ a                                        # (K, p, q)
         ala = jnp.swapaxes(a, -1, -2) @ la                 # (K, q, q)
-        c = 0.5 * _logdet_psd(lm) - 0.5 * pd * LOG2PI
+        c = 0.5 * logdet_psd(lm) - 0.5 * pd * LOG2PI
         return jnp.concatenate(
             [c[:, None], la.reshape(-1, pd * qd),
              -0.5 * ala.reshape(-1, qd * qd),

@@ -171,13 +171,12 @@ def gauss_plugin_nat(params, log_pi):
     """Plug-in Gaussian log-density in the kernel's natural form:
     h1 = Lambda mu; h2 = -1/2 Lambda; c = -1/2 mu'Lmu + 1/2 logdet L
         - d/2 log2pi + log pi."""
-    from mimo_tpu.utils.linalg import cholesky
+    from mimo_tpu.utils.linalg import cholesky, chol_logdet
     mu, lmbda = params.mu, params.lmbda
     k, d, _ = lmbda.shape
     h1 = jnp.einsum('kde,ke->kd', lmbda, mu)
     h2 = -0.5 * lmbda
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cholesky(lmbda),
-                                                axis1=-2, axis2=-1)), axis=-1)
+    logdet = chol_logdet(cholesky(lmbda))
     c = (-0.5 * jnp.einsum('kd,kd->k', mu, h1) + 0.5 * logdet
          - 0.5 * d * LOG2PI + log_pi)
     return (h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),

@@ -117,3 +117,41 @@ def test_predictive_activation_and_incremental():
     mu_inc, _, _, _ = m.predict(st, x, incremental=True)
     np.testing.assert_allclose(np.asarray(mu_inc), np.asarray(mu + x),
                                rtol=1e-6)
+
+
+def test_em_tied_diag_gmm(gmm_data):
+    """Tied diagonal EM (the reference's 'tdgmm' config): pooled per-axis
+    variances shared across K (gaussian.py:865-888 analogue)."""
+    m = BayesianGMM.make(size=3, dim=2, diag=True, tied=True,
+                         dtype=jnp.float64)
+    st, ll = m.fit_em(gmm_data, key=0, maxiter=150)
+    ld = np.asarray(st.params.lmbda_diag)
+    np.testing.assert_allclose(ld[0], ld[1], rtol=1e-6)
+    np.testing.assert_allclose(ld[0], ld[2], rtol=1e-6)
+    # generating precision is 2 per axis
+    np.testing.assert_allclose(ld[0], [2.0, 2.0], rtol=0.2)
+    est = np.asarray(st.params.mu)
+    for t in TRUE_MU:
+        assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.3
+
+
+def test_em_tied_diag_ilr():
+    """Tied diagonal-noise linear experts: fit_em must produce
+    DiagLinGaussParams with pooled lmbda_diag (regression: tied ML used to
+    dispatch on the stats type, sending diag-linear stats down the full-
+    covariance branch and crashing on params.lmbda_diag)."""
+    from mimo_tpu.conjugate.families import (diag_linear_family,
+                                             tied_family)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-3, 3, (1500, 1)))
+    y = jnp.asarray(np.where(np.asarray(x) < 0, -1.0, 1.0) * np.asarray(x)
+                    + 0.1 * rng.standard_normal((1500, 1)))
+    fam = tied_family(diag_linear_family(affine=True))
+    resp = jax.nn.one_hot((np.asarray(x)[:, 0] > 0).astype(int), 4,
+                          dtype=x.dtype)
+    stats = fam.suff_stats((x, y), resp)
+    params = fam.ml_update(stats)
+    ld = np.asarray(params.lmbda_diag)
+    assert ld.shape == (4, 1)
+    np.testing.assert_allclose(ld[0], ld[1], rtol=1e-9)  # pooled
+    assert np.isfinite(ld).all() and (ld > 0).all()

@@ -1,0 +1,82 @@
+"""Monte-Carlo moment tests for the matrix-variate samplers with a
+NON-DIAGONAL column precision — the exact axis where a wrong
+triangular-solve orientation is invisible to diagonal-K tests
+(regression: all matrix-normal-style samplers drew columns with
+covariance (Lk^T Lk)^{-1} instead of K^{-1}).
+
+Identity used: A ~ MN(M, Lambda^{-1}, K^{-1})  =>
+E[(A - M)^T Lambda (A - M)] = p * K^{-1}   (p = row dim).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mimo_tpu.distributions import mnw, mng, extra
+
+K_COL = np.array([[2.0, 1.0], [1.0, 1.0]])   # deliberately non-diagonal
+N_MC = 40_000
+
+
+def _col_moment(A, W):
+    """E[(A-0)^T W (A-0)] over leading MC axis; W per-sample (n,p,p) or
+    diagonal (n,p)."""
+    if W.ndim == 2:   # diagonal weights
+        return np.einsum('npq,np,nps->qs', A, W, A) / A.shape[0]
+    return np.einsum('npq,npr,nrs->qs', A, W, A) / A.shape[0]
+
+
+def test_mnw_sampler_column_covariance():
+    p = mnw.MNW(M=jnp.zeros((1, 3, 2)),
+                K_=jnp.asarray(K_COL, jnp.float64)[None],
+                psi=0.5 * jnp.eye(3, dtype=jnp.float64)[None],
+                nu=jnp.array([10.0], jnp.float64))
+    keys = jax.random.split(jax.random.PRNGKey(0), N_MC)
+    samp = jax.jit(jax.vmap(lambda k: mnw.sample_params(k, p)))(keys)
+    est = _col_moment(np.asarray(samp.A[:, 0]), np.asarray(samp.lmbda[:, 0]))
+    want = 3 * np.linalg.inv(K_COL)
+    np.testing.assert_allclose(est, want, rtol=0.05, atol=0.05)
+
+
+def test_mng_sampler_row_covariance():
+    p = mng.MNG(M=jnp.zeros((1, 3, 2)),
+                K_=jnp.asarray(K_COL, jnp.float64)[None],
+                alpha=jnp.full((1, 3), 4.0, jnp.float64),
+                beta=jnp.full((1, 3), 2.0, jnp.float64))
+    keys = jax.random.split(jax.random.PRNGKey(1), N_MC)
+    samp = jax.jit(jax.vmap(lambda k: mng.sample_params(k, p)))(keys)
+    est = _col_moment(np.asarray(samp.A[:, 0]),
+                      np.asarray(samp.lmbda_diag[:, 0]))
+    want = 3 * np.linalg.inv(K_COL)
+    np.testing.assert_allclose(est, want, rtol=0.05, atol=0.05)
+
+
+def test_matrix_normal_sample_column_covariance():
+    m = jnp.zeros((3, 2), jnp.float64)
+    v = 2.0 * jnp.eye(3, dtype=jnp.float64)          # row precision
+    k = jnp.asarray(K_COL, jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(2), N_MC)
+    A = np.asarray(jax.jit(jax.vmap(
+        lambda kk: extra.matrix_normal_sample(kk, m, v, k)))(keys))
+    est = np.einsum('npq,pr,nrs->qs', A, np.asarray(v), A) / N_MC
+    want = 3 * np.linalg.inv(K_COL)
+    np.testing.assert_allclose(est, want, rtol=0.05, atol=0.05)
+
+
+def test_matrix_normal_sample_matches_logpdf_covariance():
+    """The sampler must follow the density matrix_normal_logpdf evaluates:
+    compare the MC mean log-density against the analytic differential
+    entropy of MN(M, V^{-1}, K^{-1})."""
+    m = jnp.zeros((2, 2), jnp.float64)
+    v = jnp.asarray([[3.0, 0.5], [0.5, 1.0]], jnp.float64)
+    k = jnp.asarray(K_COL, jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(3), N_MC)
+    A = jax.jit(jax.vmap(
+        lambda kk: extra.matrix_normal_sample(kk, m, v, k)))(keys)
+    lp = jax.vmap(lambda a: extra.matrix_normal_logpdf(a, m, v, k))(A)
+    # H = (pq/2) log(2 pi e) - (q/2) logdet V - (p/2) logdet K
+    p_, q_ = 2, 2
+    h = (0.5 * p_ * q_ * (np.log(2 * np.pi) + 1.0)
+         - 0.5 * q_ * np.linalg.slogdet(np.asarray(v))[1]
+         - 0.5 * p_ * np.linalg.slogdet(np.asarray(k))[1])
+    np.testing.assert_allclose(-float(jnp.mean(lp)), h, rtol=0.02)
