@@ -115,6 +115,11 @@ class MmapDataset:
         return out
 
     def read_block(self, start, count):
+        if not 0 <= start < self.shape[0]:
+            raise IndexError(
+                f'start={start} out of range for {self.shape[0]} rows')
+        if count <= 0:
+            raise ValueError(f'count={count} must be positive')
         count = min(count, self.shape[0] - start)
         out = np.empty((count, self.shape[1]), np.float32)
         self._lib.mimo_read_block(

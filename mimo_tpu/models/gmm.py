@@ -280,13 +280,14 @@ class GMM:
         """Closed-form weighted ML (gaussian.py:525-542, vectorized over K)."""
         n, d = x.shape
         counts = jnp.sum(resp, axis=0)                       # (K,)
-        mu = (resp.T @ x) / counts[:, None]
+        safe = jnp.maximum(counts, 1e-8)                     # empty component
+        mu = (resp.T @ x) / safe[:, None]
         xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
-        exx = (resp.T @ xx).reshape(-1, d, d) / counts[:, None, None]
+        exx = (resp.T @ xx).reshape(-1, d, d) / safe[:, None, None]
         sigma = symmetrize(exx - mu[:, :, None] * mu[:, None, :]) \
             + jitter * jnp.eye(d, dtype=x.dtype)
         params = GaussParams(mu=mu, lmbda=inv_psd(sigma))
-        log_pi = jnp.log(counts / n)
+        log_pi = jnp.log(jnp.clip(counts, 1e-37, None) / n)
         return EMState(params=params, log_pi=log_pi)
 
     def fit_em(self, x, key=None, maxiter=250):

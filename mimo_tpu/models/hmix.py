@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from mimo_tpu.conjugate.families import Family
-from mimo_tpu.utils.data import one_hot
+from mimo_tpu.utils.data import one_hot, sample_batch_indices
 from mimo_tpu.utils.stats import (
     entropy_categorical, normalize_log, sample_categorical_from_log,
 )
@@ -361,10 +361,10 @@ class BayesianMixtureOfMixtures:
                        maxsubiter=maxsubiter, randomize=randomize,
                        warm=init_state is not None)
 
-        def run(data, key, init_state):
-            # n/scale from the traced data, not the enclosing scope: the
-            # jitted closure is cached per static key and reused across
-            # datasets of different size
+        def run(data, key, init_state, step_size):
+            # n/scale from the traced data and step_size as a traced arg,
+            # not enclosing-scope captures: the jitted closure is cached
+            # per static key and reused across calls
             n = data[0].shape[0]
             scale = batch_size / n
             m = self.cluster_size
@@ -388,7 +388,7 @@ class BayesianMixtureOfMixtures:
 
             def step(st, k):
                 k_b = jax.random.fold_in(k, 0)
-                idx = jax.random.randint(k_b, (batch_size,), 0, n)
+                idx = sample_batch_indices(k_b, n, batch_size)
                 batch = tuple(a[idx] for a in data)
                 outer_resp = self.expected_responsibilities(st, batch)
 
@@ -422,7 +422,7 @@ class BayesianMixtureOfMixtures:
                                     jax.random.split(key, maxiter))
             return state
 
-        return fn(run, data, key, init_state)
+        return fn(run, data, key, init_state, step_size)
 
     # -- Gibbs (hgmm.py:326-361, masked instead of hard-sliced) -------------
 
@@ -482,7 +482,16 @@ class BayesianMixtureOfMixtures:
         def run(data, key):
             n = data[0].shape[0]
             k_init, k_loop = jax.random.split(key)
-            labels = jax.random.randint(k_init, (n,), 0, self.cluster_size)
+            if init_labels == 'random':
+                labels = jax.random.randint(k_init, (n,), 0,
+                                            self.cluster_size)
+            else:  # 'prior': labels from sampled outer gating weights
+                k_pi, k_z = jax.random.split(k_init)
+                probs = self.outer_gating_prior.sample(k_pi)
+                labels = jax.random.categorical(
+                    k_z, jnp.broadcast_to(
+                        jnp.log(jnp.clip(probs, 1e-37, None)),
+                        (n, self.cluster_size)), axis=-1)
             state = HMixGibbsState(
                 outer_gating=self.outer_gating_prior,
                 inner_gating=self.inner_gating_prior,
@@ -596,6 +605,10 @@ class BayesianMixtureOfMixtures:
                 state.components[1])                          # (M, N, K)
             log_pl = jnp.moveaxis(log_pl, 0, 1).reshape(n, j)
             nlpd = -logsumexp(log_pl + jnp.log(w_f + 1e-37), axis=-1)
+            if self.output_transform is not None:
+                # change-of-variables Jacobian: NLPD in original units
+                # (see BayesianILR.predict)
+                nlpd = nlpd + jnp.sum(jnp.log(self.output_transform.scale))
         if self.output_transform is not None:
             mu = self.output_transform.inverse_transform(mu)
             cov = self.output_transform.scale_cov(cov)

@@ -271,6 +271,12 @@ class BayesianILR(BayesianMixture):
             log_pl = self.log_predictive_likelihood(state, xx, yy, dist)
             log_w = jnp.log(weights + 1e-37)
             nlpd = -logsumexp(log_pl + log_w, axis=-1)
+            if self.output_transform is not None:
+                # change-of-variables Jacobian: p(y) = p(y_std) / prod(scale),
+                # so NLPD in ORIGINAL units adds sum(log scale). (The
+                # reference omits this and reports standardized-unit NLPD,
+                # ilr.py:405-409 — a deliberate fix, not a parity break.)
+                nlpd = nlpd + jnp.sum(jnp.log(self.output_transform.scale))
 
         if self.output_transform is not None:
             mu = self.output_transform.inverse_transform(mu)

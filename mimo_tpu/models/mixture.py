@@ -342,7 +342,9 @@ class BayesianMixture:
                 counts = jnp.sum(resp, axis=0)
                 params = self.family.ml_update(
                     self.family.suff_stats(data, resp))
-                log_pi = jnp.log(counts / n)
+                # clip: an empty component (counts=0 after f32 underflow)
+                # must not poison the fit with log(0) = -inf
+                log_pi = jnp.log(jnp.clip(counts, 1e-37, None) / n)
                 log_p = self.log_complete_likelihood(params, log_pi, data)
                 resp, lognorm = normalize_log(log_p)
                 return resp, (EMState(params, log_pi), jnp.sum(lognorm))

@@ -26,13 +26,27 @@ from mimo_tpu.utils.data import one_hot
 
 def fit_chains(model, fit_name, data, keys, **kw):
     """Run `model.<fit_name>` once per key, vmapped. Returns stacked
-    results (leading chain axis)."""
+    results (leading chain axis).
+
+    The jitted vmapped program — the most expensive compile in the
+    package — is cached on the model per (fit_name, hashable kwargs), so
+    repeated calls don't retrace."""
     data = data if isinstance(data, tuple) else (data,)
 
-    def one(key):
+    def one(key, data):
         return getattr(model, fit_name)(data, key=key, **kw)
 
-    return jax.jit(jax.vmap(one))(keys)
+    try:
+        cache_key = ('fit_chains', fit_name, tuple(sorted(kw.items())))
+        hashable = True
+    except TypeError:            # pytree kwargs (e.g. init_state)
+        hashable = False
+    if not hashable:
+        return jax.jit(jax.vmap(one, in_axes=(0, None)))(keys, data)
+    if cache_key not in model._cache:
+        model._cache[cache_key] = jax.jit(
+            jax.vmap(one, in_axes=(0, None)))
+    return model._cache[cache_key](keys, data)
 
 
 def best_of(states, vlb_traces):
@@ -62,12 +76,24 @@ def smc_gibbs(model, data, key, n_chains=8, n_rounds=10,
     size drops below `ess_threshold * n_chains`. Returns the final stacked
     GibbsStates and the per-round mean log-likelihoods.
     """
+    from mimo_tpu.models.mixture import BayesianMixture
+    if not isinstance(model, BayesianMixture):
+        raise NotImplementedError(
+            'smc_gibbs drives flat BayesianMixture models (GMM/ILR); '
+            'nested mixtures have a different Gibbs state')
     data = data if isinstance(data, tuple) else (data,)
+    # standardize ONCE here: the sweeps and chain scoring below call
+    # _gibbs_sweep / log_complete_likelihood directly, so going through the
+    # ILR fit_gibbs wrapper (which transforms internally) for init only
+    # would mix two different data scales across the chain
+    if hasattr(model, '_tx') and len(data) == 2:
+        data = (model._tx(data[0]), model._ty(data[1]))
     k_init, k_loop = jax.random.split(jax.random.PRNGKey(key)
                                       if isinstance(key, int) else key)
 
     def init_one(k):
-        return getattr(model, 'fit_gibbs')(data, key=k, maxiter=1)
+        # base-class fit_gibbs: data is already transformed
+        return BayesianMixture.fit_gibbs(model, data, key=k, maxiter=1)
 
     states = jax.jit(jax.vmap(init_one))(jax.random.split(k_init, n_chains))
 

@@ -28,11 +28,10 @@ def plot_gaussian(mu, lmbda, color='b', label='', alpha=1.0, ax=None,
 def plot_mixture(x, params, weights, labels=None, ax=None, min_weight=0.01):
     """Scatter + ellipses for a fitted GMM (reference gmm.py:105-144)."""
     import matplotlib.pyplot as plt
-    from matplotlib import cm
     ax = ax or plt.gca()
     x = np.asarray(x)
     k = np.asarray(weights).shape[0]
-    cmap = cm.get_cmap('tab10')
+    cmap = plt.get_cmap('tab10')   # cm.get_cmap was removed in mpl 3.9
     if labels is not None:
         colors = [cmap(l % 10) for l in np.asarray(labels)]
         ax.scatter(x[:, 0], x[:, 1], c=colors, marker='+', alpha=0.4)

@@ -67,9 +67,13 @@ void* mimo_open(const char* path, int64_t* n_rows, int64_t* n_cols) {
   ds->rows = hdr[0];
   ds->cols = hdr[1];
   ds->data = reinterpret_cast<const float*>(hdr + 2);
+  // validate with division, not multiplication: rows*cols*4 can wrap
+  // modulo 2^64 for a corrupt header and pass a product-based check
+  const size_t payload = ds->map_bytes - 16;
   if (ds->rows <= 0 || ds->cols <= 0 ||
-      16 + sizeof(float) * static_cast<size_t>(ds->rows) * ds->cols >
-          ds->map_bytes) {
+      static_cast<size_t>(ds->cols) > payload / sizeof(float) ||
+      static_cast<size_t>(ds->rows) >
+          payload / (sizeof(float) * static_cast<size_t>(ds->cols))) {
     munmap(map, st.st_size);
     ::close(fd);
     delete ds;

@@ -208,3 +208,26 @@ def test_mixture_of_mixtures_em_ilr():
     tr = np.asarray(tr)
     assert np.isfinite(tr).all()
     assert tr[-1] > tr[0]
+
+
+def test_hmix_svi_step_size_is_traced():
+    """Regression: hmix.fit_svi used to bake step_size into the cached
+    jitted closure — a second call with a different step size silently
+    reused the first. Different step sizes must give different states."""
+    rng = np.random.default_rng(2)
+    x = np.vstack([rng.standard_normal((300, 2)) + [-4, 0],
+                   rng.standard_normal((300, 2)) + [4, 0]])
+    x = jnp.asarray(x, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=2, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, dtype=jnp.float64)
+    st0, _ = m.fit_vi(x, key=0, maxiter=5, maxsubiter=2)
+    s_big = m.fit_svi(x, key=1, maxiter=20, step_size=0.5, batch_size=128,
+                      maxsubiter=2, init_state=st0, randomize=False)
+    s_small = m.fit_svi(x, key=1, maxiter=20, step_size=0.01,
+                        batch_size=128, maxsubiter=2, init_state=st0,
+                        randomize=False)
+    diffs = [float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree.leaves(s_big),
+                             jax.tree.leaves(s_small))]
+    assert max(diffs) > 1e-6, 'step_size had no effect (stale closure)'

@@ -173,3 +173,29 @@ def test_tied_affine_hier_basis(sine):
     assert np.isfinite(np.asarray(vlb)).all()
     mu, var, std, nlpd = m.predict(st, x, y)
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.35
+
+
+def test_nlpd_in_original_units():
+    """NLPD must include the standardization Jacobian: scaling y by c with a
+    refit transform shifts NLPD by exactly out_dim * log(c) (the
+    standardized fits are identical, so the difference is pure
+    change-of-variables; the reference omits this term, ilr.py:405-409)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-3, 3, (600, 1)), jnp.float64)
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((600, 1)), jnp.float64)
+    c = 10.0
+
+    def fit(yv):
+        m = BayesianILR.make(size=8, input_dim=1, output_dim=1, alpha=2.0,
+                             kappa=0.05, dtype=jnp.float64)
+        m.init_transform(x, yv)
+        st, _ = m.fit_vi((x, yv), key=3, maxiter=60)
+        return m, st
+
+    m1, st1 = fit(y)
+    m2, st2 = fit(c * y)
+    _, _, _, nlpd1 = m1.predict(st1, x, y)
+    _, _, _, nlpd2 = m2.predict(st2, x, c * y)
+    np.testing.assert_allclose(np.asarray(nlpd2) - np.asarray(nlpd1),
+                               np.log(c), rtol=1e-6)
