@@ -80,3 +80,43 @@ def test_matrix_normal_sample_matches_logpdf_covariance():
          - 0.5 * q_ * np.linalg.slogdet(np.asarray(v))[1]
          - 0.5 * p_ * np.linalg.slogdet(np.asarray(k))[1])
     np.testing.assert_allclose(-float(jnp.mean(lp)), h, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# MNW nat <-> std algebra (the NIW analogues live in test_niw.py)
+# ---------------------------------------------------------------------------
+
+def _random_mnw(rng, k=3, p=2, q=3):
+    Ms = rng.standard_normal((k, p, q))
+    a = rng.standard_normal((k, q, q))
+    Ks = np.einsum('kij,klj->kil', a, a) + 2 * np.eye(q)
+    b = rng.standard_normal((k, p, p))
+    psis = np.einsum('kij,klj->kil', b, b) + 2 * np.eye(p)
+    nus = rng.uniform(p + 2.0, p + 6.0, k)
+    return mnw.MNW(M=jnp.asarray(Ms), K_=jnp.asarray(Ks),
+                   psi=jnp.asarray(psis), nu=jnp.asarray(nus))
+
+
+def test_mnw_nat_std_roundtrip():
+    rng = np.random.default_rng(0)
+    p = _random_mnw(rng)
+    q = mnw.std_from_nat(mnw.nat_from_std(p))
+    for a, b in zip(p, q):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_mnw_update_equals_nat_add():
+    rng = np.random.default_rng(1)
+    p = _random_mnw(rng)
+    n, q_dim, p_dim = 60, 3, 2
+    x = rng.standard_normal((n, q_dim))
+    y = rng.standard_normal((n, p_dim))
+    r = rng.uniform(0.1, 1.0, (n, 3))
+    stats = mnw.suff_stats(jnp.asarray(x), jnp.asarray(y), jnp.asarray(r))
+    direct = mnw.posterior_update(p, stats)
+    via_nat = mnw.std_from_nat(mnw.LinGaussStats(*[
+        a + b for a, b in zip(mnw.nat_from_std(p), stats)]))
+    for a, b in zip(direct, via_nat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
