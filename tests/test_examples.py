@@ -24,7 +24,7 @@ DRIVERS = [
     ('hgmm.py', []),
     ('hilr.py', []),
     ('chains_smc.py', ['--chains', '4']),
-    ('stream_svi.py', ['--n', '100000', '--steps', '200']),
+    ('stream_svi.py', ['--n', '100000']),
 ]
 
 
