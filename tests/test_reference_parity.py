@@ -715,3 +715,85 @@ def test_tied_niw_update_parity(gauss_problem):
     np.testing.assert_allclose(np.asarray(ours.kappa), kappa_r, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(ours.psi), psi_r, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ours.nu), nu_r, rtol=1e-10)
+
+
+def _hier_pair_and_ours(rng, k=3, d=2):
+    """Shared construction: reference hierarchical pair + our HierTied
+    prior, with matching hyper-prior and per-component kappas."""
+    kappas = rng.uniform(0.5, 2.0, k)
+    m0 = rng.standard_normal(d)
+    kappa0, nu0 = 0.4, d + 3.0
+    a = rng.standard_normal((d, d))
+    psi0 = a @ a.T + 2 * np.eye(d)
+
+    from mimo.distributions import (NormalWishart,
+                                    TiedGaussiansWithScaledPrecision)
+    from mimo.distributions.bayesian import (
+        TiedGaussiansWithHierarchicalNormalWisharts)
+    pair = TiedGaussiansWithHierarchicalNormalWisharts(
+        size=k, dim=d,
+        hyper_prior=NormalWishart(dim=d, mu=m0.copy(), kappa=kappa0,
+                                  psi=psi0.copy(), nu=nu0),
+        prior=TiedGaussiansWithScaledPrecision(size=k, dim=d,
+                                               kappas=kappas.copy()))
+    from mimo_tpu.distributions import hierarchical as jh
+    hp = jh.HierTied(
+        hyper=jniw.NIW(mu=jnp.asarray(m0)[None],
+                       kappa=jnp.asarray([kappa0]),
+                       psi=jnp.asarray(psi0)[None],
+                       nu=jnp.asarray([nu0])),
+        mus=jnp.zeros((k, d)),
+        kappas=jnp.asarray(kappas), kappas0=jnp.asarray(kappas))
+    return pair, hp
+
+
+def test_hierarchical_predictive_parity(rng):
+    """log_posterior_predictive_gaussian (bayesian.py:783-793) vs our
+    hierarchical log_predictive_gaussian after identical VI updates."""
+    k, d, n = 3, 2, 60
+    x = rng.standard_normal((n, d))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    pair, hp = _hier_pair_and_ours(rng, k, d)
+    pair.meanfield_update(x, resp.T, nb_iter=4)
+    ref = pair.log_posterior_predictive_gaussian(x)     # (K, N)
+
+    from mimo_tpu.distributions import hierarchical as jh
+    stats = jniw.suff_stats(jnp.asarray(x), jnp.asarray(resp))
+    post = jh.posterior_update(hp, stats, nb_iter=4)
+    ours = jh.log_predictive_gaussian(post, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref).T,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_hierarchical_svi_blend_parity(rng):
+    """meanfield_sgd (bayesian.py:691-729) vs our hierarchical svi_blend:
+    identical warm posterior, one stochastic step on a second batch."""
+    k, d = 3, 2
+    x1 = rng.standard_normal((60, d))
+    r1 = rng.uniform(0.01, 1.0, (60, k))
+    x2 = rng.standard_normal((40, d))
+    r2 = rng.uniform(0.01, 1.0, (40, k))
+    scale, step = 0.25, 0.7
+
+    pair, hp = _hier_pair_and_ours(rng, k, d)
+    pair.meanfield_update(x1, r1.T, nb_iter=4)
+    pair.meanfield_sgd(x2, r2.T, nb_iter=1, scale=scale, step_size=step)
+    ref_mus = pair.posterior.mus
+    ref_rho, ref_kappa, ref_psi, ref_nu = pair.hyper_posterior.params
+
+    from mimo_tpu.distributions import hierarchical as jh
+    post = jh.posterior_update(hp, jniw.suff_stats(jnp.asarray(x1),
+                                                   jnp.asarray(r1)),
+                               nb_iter=4)
+    ours = jh.svi_blend(post, hp, jniw.suff_stats(jnp.asarray(x2),
+                                                  jnp.asarray(r2)),
+                        scale, step, nb_iter=1)
+    np.testing.assert_allclose(np.asarray(ours.mus), ref_mus, rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours.hyper.mu[0]), ref_rho,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(ours.hyper.kappa[0]), ref_kappa,
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours.hyper.psi[0]), ref_psi,
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(ours.hyper.nu[0]), ref_nu, rtol=1e-8)
