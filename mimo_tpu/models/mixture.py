@@ -532,12 +532,19 @@ class BayesianMixture:
 
         log_p = self.log_complete_likelihood(params, log_pi, data)
         labels = sample_categorical_from_log(k_lab, log_p, axis=-1)
-        return GibbsState(components=comp_post, gating=gating_post,
-                          params=params, log_pi=log_pi, labels=labels)
+        new = GibbsState(components=comp_post, gating=gating_post,
+                         params=params, log_pi=log_pi, labels=labels)
+        # data log-likelihood under the sweep's sampled params — free given
+        # log_p; used by fit_gibbs(track_loglik=) and smc_gibbs scoring
+        loglik = jnp.sum(jax.scipy.special.logsumexp(log_p, axis=-1))
+        return new, loglik
 
     def fit_gibbs(self, data, key=None, maxiter=100, init_labels='prior',
-                  point_weights=None, init_state=None):
-        """Blocked Gibbs sampling. Returns the final GibbsState.
+                  point_weights=None, init_state=None, track_loglik=False):
+        """Blocked Gibbs sampling. Returns the final GibbsState, or
+        (GibbsState, loglik_trace) with track_loglik=True — the per-sweep
+        data log-likelihood under the sampled params (mixing diagnostic;
+        the reference's tqdm loop exposes nothing).
 
         Pass a previous GibbsState as `init_state` to continue a chain
         (checkpoint/resume; preemption recovery)."""
@@ -545,6 +552,7 @@ class BayesianMixture:
         key = _as_key(key)
         fn = self._jitted('gibbs', maxiter=maxiter, init_labels=init_labels,
                           weighted=point_weights is not None,
+                          track=track_loglik,
                           warm=init_state is not None)
 
         def run(data, key, point_weights, init_state):
@@ -571,11 +579,13 @@ class BayesianMixture:
                     labels=labels)
 
             def step(state, k):
-                return self._gibbs_sweep(state, data, k, point_weights), None
+                new, loglik = self._gibbs_sweep(state, data, k,
+                                                point_weights)
+                return new, (loglik if track_loglik else None)
 
             keys = jax.random.split(k_loop, maxiter)
-            state, _ = jax.lax.scan(step, state, keys)
-            return state
+            state, trace = jax.lax.scan(step, state, keys)
+            return (state, trace) if track_loglik else state
 
         return fn(run, data, key, point_weights, init_state)
 

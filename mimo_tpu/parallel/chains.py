@@ -97,24 +97,20 @@ def smc_gibbs(model, data, key, n_chains=8, n_rounds=10,
 
     states = jax.jit(jax.vmap(init_one))(jax.random.split(k_init, n_chains))
 
-    def chain_loglik(state):
-        logp = model.log_complete_likelihood(state.params, state.log_pi, data)
-        return jnp.sum(jax.scipy.special.logsumexp(logp, axis=-1))
-
     @jax.jit
     def one_round(states, k):
         k_sweep, k_res = jax.random.split(k)
 
         def run_chain(state, kk):
             def step(s, sk):
-                return model._gibbs_sweep(s, data, sk), None
-            s, _ = jax.lax.scan(step, state,
-                                jax.random.split(kk, sweeps_per_round))
-            return s
+                new, loglik = model._gibbs_sweep(s, data, sk)
+                return new, loglik
+            s, lls = jax.lax.scan(step, state,
+                                  jax.random.split(kk, sweeps_per_round))
+            return s, lls[-1]    # score = last sweep's data log-likelihood
 
-        states = jax.vmap(run_chain)(states,
-                                     jax.random.split(k_sweep, n_chains))
-        log_w = jax.vmap(chain_loglik)(states)
+        states, log_w = jax.vmap(run_chain)(
+            states, jax.random.split(k_sweep, n_chains))
         w = jax.nn.softmax(log_w)
         ess = 1.0 / jnp.sum(w * w)
         resampled, _ = systematic_resample(k_res, log_w, states)

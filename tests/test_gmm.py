@@ -233,3 +233,17 @@ def test_vi_fused_tol_early_stop(data):
     stop = below[0] + 2
     np.testing.assert_allclose(vlb[:stop], full[:stop], rtol=1e-12)
     np.testing.assert_allclose(vlb[stop:], vlb[stop - 1], rtol=1e-12)
+
+
+def test_gibbs_loglik_trace(data):
+    x, _ = data
+    m = BayesianGMM.make(size=6, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    state, trace = m.fit_gibbs(x, key=5, maxiter=60, track_loglik=True)
+    trace = np.asarray(trace)
+    assert trace.shape == (60,) and np.isfinite(trace).all()
+    # chain mixes toward higher-likelihood configurations
+    assert trace[-10:].mean() > trace[:5].mean()
+    # default (untracked) still returns a bare GibbsState
+    gs = m.fit_gibbs(x, key=5, maxiter=10)
+    assert gs.labels.shape == x.shape[:1]
