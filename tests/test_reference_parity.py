@@ -797,3 +797,134 @@ def test_hierarchical_svi_blend_parity(rng):
     np.testing.assert_allclose(np.asarray(ours.hyper.psi[0]), ref_psi,
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(float(ours.hyper.nu[0]), ref_nu, rtol=1e-8)
+
+
+def test_ng_svi_blend_parity(diag_problem):
+    """Scalar NormalGamma nat-space SGD blend (bayesian.py:394-399) vs our
+    ng.svi_blend (the stacked reference class is unusable — see the setter
+    bug note above)."""
+    from mimo.distributions import NormalGamma, GaussianWithDiagonalPrecision
+    from mimo_tpu.distributions import ng as jng
+
+    x, resp, mus, kappas, alphas, betas = diag_problem
+    k, d = mus.shape
+    scale, step = 0.25, 0.7
+    x1, x2 = x[:40], x[40:]
+    r1, r2 = resp[:40], resp[40:]
+
+    prior = jng.NG(*(jnp.asarray(a) for a in (mus, kappas, alphas, betas)))
+    post = jng.posterior_update(prior, jng.suff_stats(jnp.asarray(x1),
+                                                      jnp.asarray(r1)))
+    ours = jng.svi_blend(post, prior,
+                         jng.suff_stats(jnp.asarray(x2), jnp.asarray(r2)),
+                         scale, step)
+
+    for i in range(k):
+        pr = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        lik = GaussianWithDiagonalPrecision(dim=d, mu=mus[i].copy(),
+                                            lmbda_diag=np.ones(d))
+        po = NormalGamma(d, mus[i].copy(), kappas[i].copy(),
+                         alphas[i].copy(), betas[i].copy())
+        po.nat_param = pr.nat_param + lik.weighted_statistics(x1, r1[:, i])
+        po.nat_param = (1.0 - step) * po.nat_param \
+            + step * (pr.nat_param
+                      + 1.0 / scale * lik.weighted_statistics(x2, r2[:, i]))
+        mu_r, kappa_r, alpha_r, beta_r = po.params
+        np.testing.assert_allclose(np.asarray(ours.mu[i]), mu_r, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(ours.kappa[i]), kappa_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.alpha[i]), alpha_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.beta[i]), beta_r,
+                                   rtol=1e-6)
+
+
+def test_mng_svi_blend_parity(rng):
+    """Scalar MatrixNormalGamma nat-space SGD blend vs our mng.svi_blend."""
+    from mimo.distributions import (MatrixNormalGamma,
+                                    LinearGaussianWithDiagonalPrecision)
+    from mimo_tpu.distributions import mng as jmng
+    from mimo_tpu.distributions import mnw as jmnw2
+
+    k, p, q, n = 3, 2, 3, 80
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, p))
+    resp = rng.uniform(0.01, 1.0, (n, k))
+    Ms = rng.standard_normal((k, p, q))
+    a = rng.standard_normal((k, q, q))
+    Ks = np.einsum('kij,klj->kil', a, a) + 2 * np.eye(q)
+    alphas = rng.uniform(1.5, 3.0, (k, p))
+    betas = rng.uniform(0.5, 2.0, (k, p))
+    scale, step = 0.3, 0.6
+    x1, x2, y1, y2, r1, r2 = x[:50], x[50:], y[:50], y[50:], resp[:50], resp[50:]
+
+    prior = jmng.MNG(M=jnp.asarray(Ms), K_=jnp.asarray(Ks),
+                     alpha=jnp.asarray(alphas), beta=jnp.asarray(betas))
+    post = jmng.posterior_update(
+        prior, jmnw2.suff_stats(jnp.asarray(x1), jnp.asarray(y1),
+                                jnp.asarray(r1)))
+    ours = jmng.svi_blend(
+        post, prior, jmnw2.suff_stats(jnp.asarray(x2), jnp.asarray(y2),
+                                      jnp.asarray(r2)), scale, step)
+
+    for i in range(k):
+        pr = MatrixNormalGamma(q, p, M=Ms[i].copy(), K=Ks[i].copy(),
+                               alphas=alphas[i].copy(), betas=betas[i].copy())
+        lik = LinearGaussianWithDiagonalPrecision(
+            q, p, A=Ms[i].copy(), lmbda_diag=np.ones(p), affine=False)
+        po = MatrixNormalGamma(q, p, M=Ms[i].copy(), K=Ks[i].copy(),
+                               alphas=alphas[i].copy(), betas=betas[i].copy())
+        po.nat_param = pr.nat_param + lik.weighted_statistics(x1, y1, r1[:, i])
+        po.nat_param = (1.0 - step) * po.nat_param \
+            + step * (pr.nat_param
+                      + 1.0 / scale * lik.weighted_statistics(x2, y2, r2[:, i]))
+        M_r, K_r, alpha_r, beta_r = po.params
+        np.testing.assert_allclose(np.asarray(ours.M[i]), M_r, rtol=1e-6,
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(ours.K_[i]), K_r, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(ours.alpha[i]), alpha_r,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.beta[i]), beta_r,
+                                   rtol=1e-5)
+
+
+def test_gating_svi_blend_parity(rng):
+    """Dirichlet (bayesian.py:85-89) and stick-breaking (:161-171) SGD
+    blends vs our gating svi_blend (incl. the reverse-cumsum acc counts)."""
+    k = 6
+    counts1 = rng.uniform(0.0, 20.0, k)
+    counts2 = rng.uniform(0.0, 20.0, k)
+    scale, step = 0.2, 0.65
+
+    # Dirichlet
+    from mimo.distributions import Dirichlet as RefDir
+    from mimo.distributions.bayesian import CategoricalWithDirichlet
+    alphas = rng.uniform(0.5, 3.0, k)
+    prior = jgating.Dirichlet(alpha=jnp.asarray(alphas))
+    post = prior.update(jnp.asarray(counts1))
+    ours = prior.svi_blend(post, jnp.asarray(counts2), scale, step)
+    ref_pr = RefDir(dim=k, alphas=alphas.copy())
+    ref_po = RefDir(dim=k, alphas=alphas.copy())
+    ref_po.nat_param = ref_pr.nat_param + counts1
+    ref_po.nat_param = (1.0 - step) * ref_po.nat_param \
+        + step * (ref_pr.nat_param + 1.0 / scale * counts2)
+    np.testing.assert_allclose(np.asarray(ours.alpha), ref_po.alphas,
+                               rtol=1e-10)
+
+    # Stick-breaking (gammas/deltas with exclusive reverse-cumsum counts)
+    gammas = rng.uniform(0.5, 2.0, k)
+    deltas = rng.uniform(0.5, 2.0, k)
+    sb_prior = jgating.StickBreaking(gamma=jnp.asarray(gammas),
+                                     delta=jnp.asarray(deltas))
+    sb_post = sb_prior.update(jnp.asarray(counts1))
+    sb_ours = sb_prior.svi_blend(sb_post, jnp.asarray(counts2), scale, step)
+
+    def acc(c):
+        return np.hstack((np.cumsum(c[::-1])[-2::-1], 0))
+    g1 = gammas + counts1
+    d1 = deltas + acc(counts1)
+    g2 = (1.0 - step) * g1 + step * (gammas + counts2 / scale)
+    d2 = (1.0 - step) * d1 + step * (deltas + acc(counts2) / scale)
+    np.testing.assert_allclose(np.asarray(sb_ours.gamma), g2, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sb_ours.delta), d2, rtol=1e-10)
