@@ -4,7 +4,7 @@ friends). Inline prior construction remains the escape hatch — every model
 constructor also accepts explicit prior pytrees.
 """
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field
 from typing import Optional
 
 

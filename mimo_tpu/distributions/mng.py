@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln
 
 from mimo_tpu.utils.linalg import (
-    cholesky, chol_logdet, inv_psd, symmetrize, quad_form, solve_psd,
+    cholesky, chol_logdet, inv_psd, quad_form, solve_psd,
 )
 from mimo_tpu.utils.stats import LOG2PI
 from mimo_tpu.distributions.mnw import LinGaussStats, augment, suff_stats  # reuse

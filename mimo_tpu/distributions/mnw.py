@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from mimo_tpu.utils.linalg import (
     cholesky, chol_logdet, inv_psd, symmetrize, quad_form, solve_psd,
 )
-from mimo_tpu.utils.stats import LOG2PI, mvn_logpdf, mvt_logpdf
+from mimo_tpu.utils.stats import LOG2PI
 from mimo_tpu.distributions.wishart import (
     wishart_sample, wishart_expected_logdet, wishart_log_partition,
 )

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from mimo_tpu.utils.linalg import (
-    cholesky, chol_logdet, inv_psd, symmetrize, quad_form, mvgammaln,
+    cholesky, inv_psd, symmetrize, quad_form,
 )
 from mimo_tpu.utils.stats import LOG2PI, mvn_logpdf, mvt_logpdf
 from mimo_tpu.distributions.wishart import (

@@ -7,7 +7,6 @@ reference's `BayesianMixtureOfGaussians` in all its example configurations:
   * Dirichlet or truncated stick-breaking (DP) gating.
 """
 
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

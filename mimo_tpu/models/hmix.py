@@ -23,7 +23,7 @@ from jax.scipy.special import logsumexp
 from mimo_tpu.conjugate.families import Family
 from mimo_tpu.utils.data import one_hot, sample_batch_indices
 from mimo_tpu.utils.stats import (
-    entropy_categorical, normalize_log, sample_categorical_from_log,
+    normalize_log, sample_categorical_from_log,
 )
 
 

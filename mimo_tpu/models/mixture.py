@@ -14,14 +14,12 @@ Update-rule contract (bayesian.py:209-238):
   SVI    : nat(post) <- (1-rho) nat(post) + rho (nat(prior) + stats/scale)
 """
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from mimo_tpu.conjugate.families import Family
-from mimo_tpu.distributions.gating import Dirichlet, StickBreaking
 from mimo_tpu.utils.data import one_hot, sample_batch_indices
 from mimo_tpu.utils.stats import (
     entropy_categorical, normalize_log, sample_categorical_from_log,

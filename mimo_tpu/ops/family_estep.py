@@ -32,7 +32,6 @@ from typing import Any, Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mimo_tpu.distributions import mng as _mng
 from mimo_tpu.distributions import mnw as _mnw
 from mimo_tpu.distributions import ng as _ng
 from mimo_tpu.distributions import niw as _niw

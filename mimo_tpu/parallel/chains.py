@@ -20,8 +20,6 @@ it without collectives (the resampling all-gather being the exception).
 import jax
 import jax.numpy as jnp
 
-from mimo_tpu.models.mixture import MFState
-from mimo_tpu.utils.data import one_hot
 
 
 def fit_chains(model, fit_name, data, keys, **kw):

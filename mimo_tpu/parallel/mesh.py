@@ -18,7 +18,7 @@ call the exact same jitted fit functions.
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def init_distributed(coordinator_address=None, num_processes=None,

@@ -63,8 +63,6 @@ def fit_with_checkpoints(model, fit_name, data, path, total_iters,
     """
     import json
 
-    import jax.numpy as jnp
-
     meta_path = path + '.meta.json'
     state, done = None, 0
     if resume and os.path.exists(meta_path):
