@@ -29,6 +29,8 @@ from mimo_tpu.distributions.niw import GaussParams
 #   N=1e4: VI 9.692 iters/s, Gibbs 35.229 sweeps/s
 #   N=1e5: VI 0.296 iters/s, Gibbs  2.133 sweeps/s
 #   N=1e6: VI 0.011 iters/s, Gibbs  0.022 sweeps/s
+#   N=1e7: VI 0.00039 iters/s (2554 s/iter), Gibbs 0.00087 sweeps/s
+#          (1148 s/sweep), peak RSS 43.5 GB (measured 2026-08-18)
 # (superlinear falloff: the fold=False N x d x d expected-stats path,
 # gaussian.py:474-485, plus the K x N x d x d einsums going out of cache.)
 REFERENCE_VI_ITERS_PER_S_1E6 = 0.011
