@@ -235,6 +235,27 @@ class BayesianGMM(BayesianMixture):
         return self._cache[cache_key](x, key)
 
     # sampling synthetic data from the prior predictive of given params
+    def sample(self, state, key=None, n=1, params='mode'):
+        """Draw (obs, labels) from the FITTED model — the reference's
+        `model.rvs(size)` on fitted likelihood params (gmm.py:50-60).
+
+        `params`: 'mode' (MAP plug-in, the reference's post-fit default),
+        'mean', or 'draw' (sample params from the posterior first —
+        the full posterior predictive)."""
+        import jax as _jax
+        key = _jax.random.PRNGKey(key or 0) if isinstance(key, (int, type(None))) \
+            else key
+        k_p, k_d = _jax.random.split(key)
+        if params == 'draw':
+            p = self.family.sample_params(k_p, state.components)
+        elif params == 'mean':
+            p = self.family.mean_params(state.components)
+        else:
+            p = self.family.mode_params(state.components)
+        if hasattr(p, 'lmbda_diag'):   # diagonal family -> full precision
+            p = GaussParams(mu=p.mu, lmbda=jax.vmap(jnp.diag)(p.lmbda_diag))
+        return BayesianGMM.generate(k_d, p, state.gating.mean(), n)
+
     @staticmethod
     def generate(key, params: GaussParams, weights, n):
         """Draw (obs, labels) from a known mixture — the reference's

@@ -105,6 +105,32 @@ class BayesianILR(BayesianMixture):
         return BayesianILR(g, basis, models, affine=affine,
                            maxsubiter=maxsubiter)
 
+    def sample(self, state, key=None, n=1, params='mode'):
+        """Draw (x, y, z) from the FITTED model — the reference's
+        `model.rvs(size)` (ilr.py:51-64). Samples are in ORIGINAL units
+        (the standardization is inverted). `params`: 'mode' | 'mean' |
+        'draw' (posterior draw of the likelihood params)."""
+        key = jax.random.PRNGKey(key or 0) \
+            if isinstance(key, (int, type(None))) else key
+        k_p, k_d = jax.random.split(key)
+        if params == 'draw':
+            bp, ep = self.family.sample_params(k_p, state.components)
+        elif params == 'mean':
+            bp, ep = self.family.mean_params(state.components)
+        else:
+            bp, ep = self.family.mode_params(state.components)
+        if hasattr(ep, 'lmbda_diag'):  # diagonal experts -> full precision
+            from mimo_tpu.distributions.mnw import LinGaussParams
+            ep = LinGaussParams(A=ep.A,
+                                lmbda=jax.vmap(jnp.diag)(ep.lmbda_diag))
+        x, y, z = BayesianILR.generate(k_d, bp, ep, state.gating.mean(), n,
+                                       affine=self.affine)
+        if self.input_transform is not None:
+            x = self.input_transform.inverse_transform(x)
+        if self.output_transform is not None:
+            y = self.output_transform.inverse_transform(y)
+        return x, y, z
+
     @staticmethod
     def generate(key, basis_params, expert_params, weights, n, affine=True):
         """Draw (x, y, z) from a known mixture of linear experts — the

@@ -247,3 +247,21 @@ def test_gibbs_loglik_trace(data):
     # default (untracked) still returns a bare GibbsState
     gs = m.fit_gibbs(x, key=5, maxiter=10)
     assert gs.labels.shape == x.shape[:1]
+
+
+def test_sample_from_fitted(data):
+    """model.sample(state, ...) = the reference's rvs on fitted params
+    (gmm.py:50-60): synthetic draws should reproduce the fitted moments."""
+    x, _ = data
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    state, _ = m.fit_vi(x, key=1, maxiter=100)
+    for mode in ('mode', 'mean', 'draw'):
+        xs, zs = m.sample(state, key=2, n=20000, params=mode)
+        assert xs.shape == (20000, 2) and zs.shape == (20000,)
+        assert np.isfinite(np.asarray(xs)).all()
+    xs, _ = m.sample(state, key=2, n=50000)
+    np.testing.assert_allclose(np.asarray(xs).mean(0), np.asarray(x).mean(0),
+                               atol=0.2)
+    np.testing.assert_allclose(np.cov(np.asarray(xs).T),
+                               np.cov(np.asarray(x).T), rtol=0.15, atol=0.3)

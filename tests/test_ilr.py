@@ -199,3 +199,25 @@ def test_nlpd_in_original_units():
     _, _, _, nlpd2 = m2.predict(st2, x, c * y)
     np.testing.assert_allclose(np.asarray(nlpd2) - np.asarray(nlpd1),
                                np.log(c), rtol=1e-6)
+
+
+def test_sample_from_fitted_ilr():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-6, 6, (1500, 1)), jnp.float64)
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((1500, 1)), jnp.float64)
+    m = BayesianILR.make(size=15, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float64)
+    m.init_transform(x, y)
+    g = m.fit_gibbs((x, y), key=0, maxiter=25)
+    from mimo_tpu.models.mixture import MFState
+    st, _ = m.fit_vi((x, y), key=1, maxiter=100,
+                     init_state=MFState(g.components, g.gating),
+                     randomize=False)
+    xs, ys, zs = m.sample(st, key=3, n=20000)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    assert np.isfinite(xs).all() and np.isfinite(ys).all()
+    # samples live in original units and follow the sine shape
+    sel = np.abs(xs[:, 0]) < 5.5
+    pred_err = np.abs(ys[sel, 0] - np.sin(xs[sel, 0]))
+    assert np.quantile(pred_err, 0.5) < 0.35, np.quantile(pred_err, 0.5)
