@@ -296,6 +296,14 @@ class GMM:
         resp, _ = normalize_log(self.log_complete_likelihood(state, x))
         return resp
 
+    def sample(self, state: EMState, key=None, n=1):
+        """Draw (obs, labels) from the fitted ML model (reference
+        MixtureOfGaussians.rvs, gmm.py:50-60)."""
+        key = jax.random.PRNGKey(key or 0) \
+            if isinstance(key, (int, type(None))) else key
+        return BayesianGMM.generate(key, state.params,
+                                    jax.nn.softmax(state.log_pi), n)
+
     def _m_step(self, x, resp, jitter=1e-6):
         """Closed-form weighted ML (gaussian.py:525-542, vectorized over K)."""
         n, d = x.shape
