@@ -638,6 +638,37 @@ class BayesianMixture:
         usage = jnp.bincount(labels, length=self.size)
         return usage > threshold
 
+    @property
+    def nb_params(self):
+        """Number of free likelihood parameters (reference gmm.py:31-34,
+        ilr.py:40-42): gating (K-1, categorical.py:23) + per-component
+        likelihood params (Gaussian: d + d(d+1)/2, gaussian.py:144;
+        diagonal: 2d, :676; linear: pq + p(p+1)/2, lingauss.py:37;
+        diag linear: pq + p, :771). For BIC/AIC-style model selection."""
+        from mimo_tpu.distributions import niw as _n, ng as _g
+        from mimo_tpu.distributions import mnw as _w, mng as _m
+
+        def comp_params(prior):
+            if isinstance(prior, _n.NIW):
+                k, d = prior.mu.shape
+                return k * (d + d * (d + 1) // 2)
+            if isinstance(prior, _g.NG):
+                k, d = prior.mu.shape
+                return k * 2 * d
+            if isinstance(prior, _w.MNW):
+                k, p, q = prior.M.shape
+                return k * (p * q + p * (p + 1) // 2)
+            if isinstance(prior, _m.MNG):
+                k, p, q = prior.M.shape
+                return k * (p * q + p)
+            if isinstance(prior, tuple):          # product family (ILR)
+                return sum(comp_params(p) for p in prior)
+            raise NotImplementedError(
+                f'nb_params undefined for {type(prior).__name__} (the '
+                f'reference also leaves tied/hierarchical undefined)')
+
+        return (self.size - 1) + comp_params(self.components_prior)
+
     def with_priors(self, state: MFState) -> 'BayesianMixture':
         """New model whose priors are this state's posteriors — the
         prior <- posterior re-anchoring API (evaluate_sine.py:153-155)."""

@@ -213,3 +213,20 @@ def test_elbo_loop_dtype_promotion():
     carry0 = jnp.zeros((), jnp.bfloat16)
     _, trace = jax.jit(lambda: _elbo_loop(step, carry0, 5, 1e-3))()
     assert trace.dtype == jnp.float32
+
+
+def test_nb_params():
+    """Parameter counts match the reference formulas (gaussian.py:144,
+    lingauss.py:37, categorical.py:23)."""
+    from mimo_tpu.models.gmm import BayesianGMM
+    from mimo_tpu.models.ilr import BayesianILR
+    m = BayesianGMM.make(size=5, dim=3)
+    assert m.nb_params == 4 + 5 * (3 + 6)        # K-1 + K(d + d(d+1)/2)
+    md = BayesianGMM.make(size=5, dim=3, diag=True)
+    assert md.nb_params == 4 + 5 * 6
+    ilr = BayesianILR.make(size=4, input_dim=2, output_dim=1)   # q=3 affine
+    # gating 3 + basis 4*(2+3) + experts 4*(1*3 + 1)
+    assert ilr.nb_params == 3 + 4 * 5 + 4 * 4
+    hier = BayesianGMM.make(size=5, dim=3, hierarchical=True)
+    with pytest.raises(NotImplementedError):
+        hier.nb_params
