@@ -76,12 +76,14 @@ class BayesianGMM(BayesianMixture):
 
     def _estep_spec(self):
         from mimo_tpu.ops.family_estep import (
-            gaussian_spec, diag_gaussian_spec)
+            gaussian_spec, diag_gaussian_spec, hier_gaussian_spec)
         if isinstance(self.components_prior, NIW):
             return gaussian_spec()
         if isinstance(self.components_prior, NG):
             return diag_gaussian_spec()
-        return None    # hierarchical: use fit_vi
+        if isinstance(self.components_prior, HierTied):
+            return hier_gaussian_spec()
+        return None
 
     def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
                      block_size=None, init_state=None, randomize=True,

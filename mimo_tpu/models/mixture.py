@@ -284,11 +284,17 @@ class BayesianMixture:
             log_pi0 = jnp.log(jnp.full((self.size,), 1.0 / self.size,
                                        data[0].dtype))
             labels0 = jnp.zeros((n,), jnp.int32)
+            gibbs_update = getattr(self.family, 'gibbs_update', None)
 
             def sweep(carry, k):
-                comp, gating, _, _, _ = carry
+                comp, gating, params_prev, _, _ = carry
                 k_par, k_pi, k_lab = jax.random.split(k, 3)
-                params = self.family.sample_params(k_par, comp)
+                if gibbs_update is None:
+                    params = self.family.sample_params(k_par, comp)
+                else:
+                    # families with their own blocked-Gibbs M-side (e.g.
+                    # hierarchical inner chains) produced params below
+                    params = params_prev
                 probs = gating.sample(k_pi)
                 log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
                 if mesh is None:
@@ -297,7 +303,13 @@ class BayesianMixture:
                 else:
                     labels, res = fused_gibbs_sharded(
                         spec, k_lab, params, log_pi, data, block_size, mesh)
-                comp = self.family.update(self.components_prior, res.stats)
+                if gibbs_update is None:
+                    comp = self.family.update(self.components_prior,
+                                              res.stats)
+                else:
+                    comp, params = gibbs_update(k_par,
+                                                self.components_prior,
+                                                res.stats)
                 gating = self.gating_prior.update(res.counts)
                 return (comp, gating, params, log_pi, labels), None
 

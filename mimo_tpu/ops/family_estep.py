@@ -99,6 +99,36 @@ def _unpack_gauss(acc):
                            xxT=acc[:, 1 + d:].reshape(-1, d, d), n2=counts)
 
 
+# -- hierarchically-tied Gaussian | NW hyper-prior ----------------------------
+
+def hier_gaussian_spec() -> EStepSpec:
+    """HierTied expected log-likelihood (hierarchical.py:153-167) is also
+    feature-linear in [1, x, x (x) x]: shared E[Lambda] = nu_bar psi_bar,
+    per-component h1_k = E[Lambda] mus_k, and the q(mu_k)-covariance term
+    d / kappa'_k folds into the constant — so the fused big-N engines work
+    for hierarchical GMMs too. Same features/unpack/plug-in as
+    gaussian_spec; stats are plain GaussStats (the hierarchical inner loop
+    lives in the family's update/gibbs_update)."""
+    from mimo_tpu.distributions.wishart import wishart_expected_logdet
+    from mimo_tpu.utils.linalg import cholesky
+    g = gaussian_spec()
+
+    def theta(post):
+        h = post.hyper
+        d = post.mus.shape[-1]
+        k = post.mus.shape[0]
+        e_l = (h.nu[:, None, None] * h.psi)[0]               # (d, d)
+        e_logdet = wishart_expected_logdet(cholesky(h.psi), h.nu)[0]
+        h1 = post.mus @ e_l                                  # (K, d)
+        c = (-0.5 * jnp.einsum('kd,kd->k', post.mus, h1)
+             - 0.5 * d / post.kappas
+             + 0.5 * e_logdet - 0.5 * d * LOG2PI)
+        h2 = jnp.broadcast_to((-0.5 * e_l).reshape(1, d * d), (k, d * d))
+        return jnp.concatenate([c[:, None], h1, h2], axis=-1)
+
+    return EStepSpec(g.features, theta, g.unpack, g.theta_plugin)
+
+
 # -- diagonal Gaussian | NG --------------------------------------------------
 
 def diag_gaussian_spec() -> EStepSpec:

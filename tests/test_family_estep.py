@@ -180,3 +180,31 @@ def test_ilr_fused_gibbs_recovers(rng):
     mu, _, _, _ = m.predict(st, x, y)
     rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
     assert rmse < 0.2, rmse
+
+
+def test_hier_gmm_fused_equals_standard(rng):
+    """hier_gaussian_spec: the hierarchical family's ell is feature-linear
+    too, so the fused engines must match the dense ones."""
+    from mimo_tpu.models.gmm import BayesianGMM
+    from mimo_tpu.distributions.niw import GaussParams
+    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+    x, _ = BayesianGMM.generate(
+        jax.random.PRNGKey(5),
+        GaussParams(jnp.asarray([[-4., 0.], [4., 0.], [0., 5.]]), lm),
+        jnp.asarray([.3, .4, .3]), 2000)
+    x = x.astype(jnp.float64)
+    m = BayesianGMM.make(size=5, dim=2, gating='dp', hierarchical=True,
+                         kappa=0.05, psi_scale=0.5, maxsubiter=5,
+                         dtype=jnp.float64)
+    st1, v1 = m.fit_vi(x, key=0, maxiter=40)
+    st2, v2 = m.fit_vi_fused(x, key=0, maxiter=40, block_size=500)
+    np.testing.assert_allclose(np.asarray(st1.components.mus),
+                               np.asarray(st2.components.mus),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(v1[-1]), float(v2[-1]), rtol=1e-4)
+    # fused blocked Gibbs runs the family's inner-chain gibbs_update
+    gs = m.fit_gibbs_fused(x, key=1, maxiter=30, block_size=500)
+    counts = np.bincount(np.asarray(gs.labels), minlength=5)
+    assert counts.sum() == 2000
+    assert np.sort(counts)[-3:].sum() > 0.8 * 2000
+    assert np.isfinite(np.asarray(gs.components.mus)).all()
