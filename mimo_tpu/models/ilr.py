@@ -189,11 +189,11 @@ class BayesianILR(BayesianMixture):
         return super().fit_em((self._tx(x), self._ty(y)), **kw)
 
     def _estep_spec(self):
-        if self.tied_affine or self.hier_basis:
-            return None    # packed/inner-loop ells: use fit_vi
         from mimo_tpu.ops.family_estep import ilr_spec
         return ilr_spec(self.input_dim, self.output_dim,
-                        affine=self.affine, diag_expert=self.diag)
+                        affine=self.affine, diag_expert=self.diag,
+                        hier_basis=self.hier_basis,
+                        tied_affine=self.tied_affine)
 
     def fit_vi_fused(self, data, **kw):
         """Fused blockwise VI for large-N expert mixtures (the N x K

@@ -310,17 +310,52 @@ def linear_width(p, q):
     return 1 + p * q + q * q + p * p
 
 
+def tied_affine_spec(input_dim, output_dim) -> EStepSpec:
+    """Tied-affine experts: the ELL is the packed-MNW ell over augmented
+    inputs (affine.py:211-213), so the linear spec applies with theta /
+    theta_plugin on the packed posterior; unpack converts the augmented
+    LinGaussStats accumulator into the AffineStats the family's
+    update/gibbs_update consume (ym / xm are the augmentation column's
+    sub-blocks)."""
+    from mimo_tpu.distributions import affine as _aff
+    q = input_dim
+    base = linear_spec(True, output_dim, q + 1)
+
+    def theta(post):
+        return base.theta(_aff.to_packed_mnw(post))
+
+    def unpack(acc):
+        lg = base.unpack(acc)
+        return _aff.AffineStats(
+            ym=lg.yxT[..., :, q], xm=lg.xxT[..., :q, q],
+            yxT=lg.yxT[..., :, :q], xxT=lg.xxT[..., :q, :q],
+            yyT=lg.yyT, n=lg.n)
+
+    return EStepSpec(base.features, theta, unpack, base.theta_plugin)
+
+
 def ilr_spec(input_dim, output_dim, affine=True, diag_basis=False,
-             diag_expert=False):
-    """The ILR joint family's fused spec: data = (x, y)."""
-    q = input_dim + (1 if affine else 0)
-    b = diag_gaussian_spec() if diag_basis else gaussian_spec()
-    bw = diag_gauss_width(input_dim) if diag_basis else gauss_width(input_dim)
-    e = (diag_linear_spec(affine, output_dim, q) if diag_expert
-         else linear_spec(affine, output_dim, q))
-    return product_spec(
-        (b, e), ((0,), (0, 1)),
-        (bw, linear_width(output_dim, q)))
+             diag_expert=False, hier_basis=False, tied_affine=False):
+    """The ILR joint family's fused spec: data = (x, y). Covers every
+    expert/basis combination, including the hierarchically-tied basis and
+    tied-affine experts (both feature-linear; see hier_gaussian_spec /
+    tied_affine_spec)."""
+    if hier_basis:
+        b = hier_gaussian_spec()
+        bw = gauss_width(input_dim)
+    elif diag_basis:
+        b, bw = diag_gaussian_spec(), diag_gauss_width(input_dim)
+    else:
+        b, bw = gaussian_spec(), gauss_width(input_dim)
+    if tied_affine:
+        e = tied_affine_spec(input_dim, output_dim)
+        ew = linear_width(output_dim, input_dim + 1)
+    else:
+        q = input_dim + (1 if affine else 0)
+        e = (diag_linear_spec(affine, output_dim, q) if diag_expert
+             else linear_spec(affine, output_dim, q))
+        ew = linear_width(output_dim, q)
+    return product_spec((b, e), ((0,), (0, 1)), (bw, ew))
 
 
 # -- the fused sweep ---------------------------------------------------------

@@ -208,3 +208,31 @@ def test_hier_gmm_fused_equals_standard(rng):
     assert counts.sum() == 2000
     assert np.sort(counts)[-3:].sum() > 0.8 * 2000
     assert np.isfinite(np.asarray(gs.components.mus)).all()
+
+
+def test_ilr_tied_affine_and_hier_basis_fused(rng):
+    """tied_affine_spec / hier-basis ILR: fused VI must match the dense
+    engine (both were previously dense-only)."""
+    from mimo_tpu.models.ilr import BayesianILR
+    x = jnp.asarray(rng.uniform(-3, 3, (1600, 1)))
+    y = jnp.asarray(np.where(np.asarray(x) < 0, -1.0, 1.0) * np.asarray(x)
+                    + 0.1 * rng.standard_normal((1600, 1)))
+    for kw in [dict(tied_affine=True), dict(hier_basis=True),
+               dict(tied_affine=True, hier_basis=True)]:
+        m = BayesianILR.make(size=6, input_dim=1, output_dim=1, kappa=0.05,
+                             maxsubiter=5, dtype=jnp.float64, **kw)
+        m.init_transform(x, y)
+        st1, v1 = m.fit_vi((x, y), key=0, maxiter=40)
+        st2, v2 = m.fit_vi_fused((x, y), key=0, maxiter=40, block_size=400)
+        mu1, _, _, _ = m.predict(st1, x, y)
+        mu2, _, _, _ = m.predict(st2, x, y)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                                   rtol=1e-5, atol=1e-6)
+        # exact engine equivalence: the fused trace is the dense trace
+        # shifted by one sweep (fused reports ELBO(state_t) pre-update)
+        np.testing.assert_allclose(np.asarray(v1)[:-1], np.asarray(v2)[1:],
+                                   rtol=1e-9, atol=1e-7)
+        # fused Gibbs drives the family's inner-chain gibbs_update
+        gs = m.fit_gibbs_fused((x, y), key=1, maxiter=20, block_size=400)
+        assert gs.labels.shape == (1600,)
+        assert np.isfinite(np.asarray(jax.tree.leaves(gs.params)[0])).all()
