@@ -235,6 +235,101 @@ class BayesianMixtureOfMixtures:
 
         return fn(run, data, key)
 
+    def fit_vi_fused(self, data, key=None, maxiter=100, block_size=None,
+                     randomize=True, tol=None):
+        """Fused blockwise nested VI for big N.
+
+        The two-level E-step is algebraically a FLAT softmax over all
+        M*K experts: the joint responsibility r_{n,m,k} factors exactly
+        into outer_{n,m} * inner_{n,m,k} with joint logits
+        log pi_m + log pi_mk + ell_mk. So the generic fused machinery
+        (family_estep) applies with the (M, K)-stacked posteriors
+        flattened; the M-step splits the flat counts back into
+        per-cluster inner updates plus the outer update. Equivalent to
+        fit_vi's coordinate ascent at maxsubiter=1.
+
+        Returns (HMixState, trace); the trace is the nested ELBO
+        (lse identity + KL terms), unlike fit_vi's expected-complete
+        log-likelihood trace. `tol` stops early on |dELBO| < tol."""
+        from mimo_tpu.ops.estep import pick_block_size
+        from mimo_tpu.ops.family_estep import (
+            EStepSpec, fused_estep_blockwise, gaussian_spec,
+            hier_gaussian_spec, ilr_spec)
+        from mimo_tpu.distributions.hierarchical import HierTied
+        from mimo_tpu.models.mixture import _elbo_loop
+
+        data = self._tx_data(data)
+        key = _as_key(key)
+        mm, kk = self.cluster_size, self.mixture_size
+        cp = self.components_prior
+        if self.kind == 'ilr':
+            base = ilr_spec(cp[0].mu.shape[-1], cp[1].M.shape[-2],
+                            affine=self.affine)
+        elif isinstance(cp, HierTied):
+            base = hier_gaussian_spec()
+        else:
+            base = gaussian_spec()
+        spec = EStepSpec(
+            features=base.features,
+            theta=lambda comps: jax.vmap(base.theta)(comps).reshape(
+                mm * kk, -1),
+            unpack=base.unpack)
+        n = data[0].shape[0]
+        if block_size is None:
+            block_size = pick_block_size(n)
+        if n % block_size:
+            raise ValueError(f'N={n} must be a multiple of block_size='
+                             f'{block_size}; pass a dividing block_size')
+        fn = self._jit('vi_fused', maxiter=maxiter, block_size=block_size,
+                       randomize=randomize, tol=tol is not None)
+
+        def run(data, key, tol):
+            n = data[0].shape[0]
+            r = jax.random.uniform(key, (n, mm), dtype=data[0].dtype,
+                                   minval=1e-3, maxval=1.0)
+            outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
+            k2 = jax.random.fold_in(key, 1)
+            ir = jax.random.uniform(k2, (mm, n, kk), dtype=data[0].dtype,
+                                    minval=1e-3, maxval=1.0)
+            inner_resp = ir / jnp.sum(ir, axis=-1, keepdims=True)
+            comps, gatings = self._inner_update(data, inner_resp,
+                                                outer_resp)
+            state = HMixState(
+                outer_gating=self.outer_gating_prior.update(
+                    jnp.sum(outer_resp, axis=0)),
+                inner_gating=gatings, components=comps)
+
+            def step(st, _):
+                lp_in = jax.vmap(lambda g: g.expected_log_pi())(
+                    st.inner_gating)                          # (M, K)
+                lp = (st.outer_gating.expected_log_pi()[:, None]
+                      + lp_in).reshape(-1)
+                res = fused_estep_blockwise(spec, st.components, lp, data,
+                                            block_size)
+                counts = res.counts.reshape(mm, kk)
+                stats = jax.tree.map(
+                    lambda a: a.reshape((mm, kk) + a.shape[1:]), res.stats)
+                comps, gatings = jax.vmap(
+                    lambda pc, pg, s, c: (self.family.update(pc, s),
+                                          pg.update(c)))(
+                    self.components_prior, self.inner_gating_prior,
+                    stats, counts)
+                outer = self.outer_gating_prior.update(
+                    jnp.sum(counts, axis=-1))
+                kl_c = jnp.sum(jax.vmap(self.family.kl)(
+                    st.components, self.components_prior))
+                kl_gi = jnp.sum(jax.vmap(lambda q, p: q.kl_divergence(p))(
+                    st.inner_gating, self.inner_gating_prior))
+                kl_go = jnp.sum(st.outer_gating.kl_divergence(
+                    self.outer_gating_prior))
+                vlb = res.lse - kl_c - kl_gi - kl_go
+                return HMixState(outer_gating=outer, inner_gating=gatings,
+                                 components=comps), vlb
+
+            return _elbo_loop(step, state, maxiter, tol)
+
+        return fn(run, data, key, tol)
+
     # -- likelihood-only EM (hgmm.py:59-88, hilr.py:39-78) ------------------
 
     def _em_inner_loglik(self, state: HMixEMState, data):

@@ -231,3 +231,56 @@ def test_hmix_svi_step_size_is_traced():
              for a, b in zip(jax.tree.leaves(s_big),
                              jax.tree.leaves(s_small))]
     assert max(diffs) > 1e-6, 'step_size had no effect (stale closure)'
+
+
+def test_hmix_fused_vi_gmm():
+    """Nested fused VI (flat M*K softmax) separates the super-clusters and
+    reports a finite, increasing nested ELBO."""
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 500), blob([-5, -3], 500),
+                   blob([5, 5], 500), blob([5, 3], 500)])
+    x = jnp.asarray(x[rng.permutation(2000)], jnp.float64)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=5,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    st, vlb = m.fit_vi_fused(x, key=0, maxiter=40, block_size=500)
+    vlb = np.asarray(vlb)
+    assert np.isfinite(vlb).all() and vlb[-1] > vlb[0]
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    assert (lab[left] == lab[left][0]).mean() > 0.9
+    assert (lab[~left] == lab[~left][0]).mean() > 0.9
+    assert lab[left][0] != lab[~left][0]
+    # non-hierarchical inner family too
+    m2 = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -4], [5, 4]],
+        dtype=jnp.float64)
+    st2, v2 = m2.fit_vi_fused(x, key=0, maxiter=40, block_size=500)
+    assert np.isfinite(np.asarray(v2)).all()
+
+
+def test_hmix_fused_vi_ilr():
+    rng = np.random.default_rng(3)
+    n = 800
+    x1 = rng.uniform(-2, 0, (n // 2, 1))
+    x2 = rng.uniform(0, 2, (n // 2, 1))
+    y = np.vstack([1.5 * x1 + 1, -2.0 * x2 + 0.5]) \
+        + 0.05 * rng.standard_normal((n, 1))
+    x = jnp.asarray(np.vstack([x1, x2]), jnp.float64)
+    y = jnp.asarray(y, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=2, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    st, vlb = m.fit_vi_fused((x, y), key=1, maxiter=60, block_size=400)
+    vlb = np.asarray(vlb)
+    assert np.isfinite(vlb).all() and vlb[-1] > vlb[0]
+    mu, _, _, nlpd = m.predict(st, x, y)
+    rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
+    assert rmse < 0.3, rmse
