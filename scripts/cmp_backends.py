@@ -1,0 +1,37 @@
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import jax.numpy as jnp
+from mimo_tpu.models.gmm import BayesianGMM
+from mimo_tpu.distributions.niw import GaussParams
+
+N, K, D, ITERS = 10_000_000, 50, 2, 100
+key = jax.random.PRNGKey(0)
+mu = jnp.array([[-3., 0.], [3., 0.], [0., 4.]])
+lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
+x, _ = BayesianGMM.generate(key, GaussParams(mu, lm), jnp.array([.3, .4, .3]), N)
+model = BayesianGMM.make(size=K, dim=D, gating='dp', alpha=1.0, kappa=0.05, psi_scale=0.5)
+
+for backend in ('xla', 'pallas'):
+    st, v = model.fit_vi_fused(x, key=1, maxiter=ITERS, backend=backend)
+    jax.block_until_ready(v)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        st, v = model.fit_vi_fused(x, key=1, maxiter=ITERS, backend=backend)
+        jax.block_until_ready(v)
+        best = max(best, ITERS/(time.time()-t0))
+    print(f'VI {backend}: {best:.1f} iters/s  elbo={float(v[-1]):.6g}', flush=True)
+
+for backend in ('xla', 'pallas'):
+    gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS, backend=backend)
+    jax.block_until_ready(gs.labels)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        gs = model.fit_gibbs_fused(x, key=2, maxiter=ITERS, backend=backend)
+        jax.block_until_ready(gs.labels)
+        best = max(best, ITERS/(time.time()-t0))
+    print(f'Gibbs {backend}: {best:.1f} sweeps/s', flush=True)
