@@ -11,12 +11,15 @@ lines (Gibbs, serving, and the N=1e6 point for continuity) to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import jax.numpy as jnp

@@ -1,5 +1,5 @@
 from mimo_tpu.models.mixture import (
-    BayesianMixture, MFState, GibbsState, reanchor,
+    BayesianMixture, MFState, GibbsState,
 )
 from mimo_tpu.models.gmm import GMM, BayesianGMM
 from mimo_tpu.models.ilr import BayesianILR

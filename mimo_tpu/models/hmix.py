@@ -235,31 +235,15 @@ class BayesianMixtureOfMixtures:
 
         return fn(run, data, key)
 
-    def fit_vi_fused(self, data, key=None, maxiter=100, block_size=None,
-                     randomize=True, tol=None):
-        """Fused blockwise nested VI for big N.
-
-        The two-level E-step is algebraically a FLAT softmax over all
-        M*K experts: the joint responsibility r_{n,m,k} factors exactly
-        into outer_{n,m} * inner_{n,m,k} with joint logits
-        log pi_m + log pi_mk + ell_mk. So the generic fused machinery
-        (family_estep) applies with the (M, K)-stacked posteriors
-        flattened; the M-step splits the flat counts back into
-        per-cluster inner updates plus the outer update. Equivalent to
-        fit_vi's coordinate ascent at maxsubiter=1.
-
-        Returns (HMixState, trace); the trace is the nested ELBO
-        (lse identity + KL terms), unlike fit_vi's expected-complete
-        log-likelihood trace. `tol` stops early on |dELBO| < tol."""
-        from mimo_tpu.ops.estep import pick_block_size
+    def _flat_spec(self):
+        """EStepSpec over the FLAT M*K expert axis: the two-level joint
+        responsibility r_{n,m,k} factors exactly into outer_{n,m} *
+        inner_{n,m,k} with joint logits log pi_m + log pi_mk + ell_mk, so
+        the generic fused machinery (family_estep) applies with the
+        (M, K)-stacked posteriors/params flattened."""
         from mimo_tpu.ops.family_estep import (
-            EStepSpec, fused_estep_blockwise, gaussian_spec,
-            hier_gaussian_spec, ilr_spec)
+            EStepSpec, gaussian_spec, hier_gaussian_spec, ilr_spec)
         from mimo_tpu.distributions.hierarchical import HierTied
-        from mimo_tpu.models.mixture import _elbo_loop
-
-        data = self._tx_data(data)
-        key = _as_key(key)
         mm, kk = self.cluster_size, self.mixture_size
         cp = self.components_prior
         if self.kind == 'ilr':
@@ -269,19 +253,59 @@ class BayesianMixtureOfMixtures:
             base = hier_gaussian_spec()
         else:
             base = gaussian_spec()
-        spec = EStepSpec(
+        return EStepSpec(
             features=base.features,
             theta=lambda comps: jax.vmap(base.theta)(comps).reshape(
                 mm * kk, -1),
-            unpack=base.unpack)
+            unpack=base.unpack,
+            theta_plugin=None if base.theta_plugin is None else
+            (lambda params: jax.vmap(base.theta_plugin)(params).reshape(
+                mm * kk, -1)))
+
+    def _split_flat(self, res):
+        """Reshape a flat M*K FusedEStep back to (M, K)-stacked counts and
+        stats."""
+        mm, kk = self.cluster_size, self.mixture_size
+        counts = res.counts.reshape(mm, kk)
+        stats = jax.tree.map(
+            lambda a: a.reshape((mm, kk) + a.shape[1:]), res.stats)
+        return counts, stats
+
+    def fit_vi_fused(self, data, key=None, maxiter=100, block_size=None,
+                     randomize=True, tol=None, mesh=None):
+        """Fused blockwise nested VI for big N: the two-level E-step runs
+        as one FLAT softmax over all M*K experts (see _flat_spec); the
+        M-step splits the flat counts back into per-cluster inner updates
+        plus the outer update. Equivalent to fit_vi's coordinate ascent
+        at maxsubiter=1.
+
+        With `mesh` (a ('chain','data') mesh from parallel.make_mesh) the
+        E-step runs under shard_map over the 'data' axis — each device
+        scans its local shard's blocks and one (M*K, m) psum crosses the
+        mesh per sweep (ops/family_estep.fused_estep_sharded).
+
+        Returns (HMixState, trace); the trace is the nested ELBO
+        (lse identity + KL terms), unlike fit_vi's expected-complete
+        log-likelihood trace. `tol` stops early on |dELBO| < tol."""
+        from mimo_tpu.ops.estep import pick_block_size
+        from mimo_tpu.ops.family_estep import (
+            fused_estep_blockwise, fused_estep_sharded)
+        from mimo_tpu.models.mixture import _elbo_loop
+
+        data = self._tx_data(data)
+        key = _as_key(key)
+        mm, kk = self.cluster_size, self.mixture_size
+        spec = self._flat_spec()
         n = data[0].shape[0]
+        local_n = n if mesh is None else n // mesh.shape['data']
         if block_size is None:
-            block_size = pick_block_size(n)
-        if n % block_size:
-            raise ValueError(f'N={n} must be a multiple of block_size='
-                             f'{block_size}; pass a dividing block_size')
+            block_size = pick_block_size(local_n)
+        if local_n % block_size:
+            raise ValueError(
+                f'per-device N={local_n} must be a multiple of block_size='
+                f'{block_size}; pass a dividing block_size')
         fn = self._jit('vi_fused', maxiter=maxiter, block_size=block_size,
-                       randomize=randomize, tol=tol is not None)
+                       randomize=randomize, tol=tol is not None, mesh=mesh)
 
         def run(data, key, tol):
             n = data[0].shape[0]
@@ -304,11 +328,13 @@ class BayesianMixtureOfMixtures:
                     st.inner_gating)                          # (M, K)
                 lp = (st.outer_gating.expected_log_pi()[:, None]
                       + lp_in).reshape(-1)
-                res = fused_estep_blockwise(spec, st.components, lp, data,
-                                            block_size)
-                counts = res.counts.reshape(mm, kk)
-                stats = jax.tree.map(
-                    lambda a: a.reshape((mm, kk) + a.shape[1:]), res.stats)
+                if mesh is None:
+                    res = fused_estep_blockwise(spec, st.components, lp,
+                                                data, block_size)
+                else:
+                    res = fused_estep_sharded(spec, st.components, lp,
+                                              data, block_size, mesh)
+                counts, stats = self._split_flat(res)
                 comps, gatings = jax.vmap(
                     lambda pc, pg, s, c: (self.family.update(pc, s),
                                           pg.update(c)))(
@@ -329,6 +355,101 @@ class BayesianMixtureOfMixtures:
             return _elbo_loop(step, state, maxiter, tol)
 
         return fn(run, data, key, tol)
+
+    def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
+                        mesh=None):
+        """Fused blockwise nested Gibbs for big N: the (outer, inner)
+        labels are sampled JOINTLY as one flat categorical over all M*K
+        experts per point — a valid blocked-Gibbs move on (z_n, c_n) given
+        the sampled params, with better mixing than the reference's
+        z-then-c schedule (hgmm.py:326-361) — so the whole label sweep is
+        the generic fused two-matmul kernel (ops/family_estep) and the
+        dense (M, N, K) log-prob tensor of fit_gibbs never exists.
+
+        With `mesh`, labels stay device-local and one (M*K, m) psum
+        crosses the mesh per sweep (fused_gibbs_sharded).
+
+        Returns HMixGibbsState (labels are the OUTER cluster labels,
+        = flat_label // K, matching fit_gibbs)."""
+        from mimo_tpu.ops.estep import pick_block_size
+        from mimo_tpu.ops.family_estep import (
+            fused_gibbs_blockwise, fused_gibbs_sharded)
+
+        data = self._tx_data(data)
+        key = _as_key(key)
+        mm, kk = self.cluster_size, self.mixture_size
+        spec = self._flat_spec()
+        if spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused Gibbs spec for this family; use fit_gibbs')
+        n = data[0].shape[0]
+        local_n = n if mesh is None else n // mesh.shape['data']
+        if block_size is None:
+            block_size = pick_block_size(local_n)
+        if local_n % block_size:
+            raise ValueError(
+                f'per-device N={local_n} must be a multiple of block_size='
+                f'{block_size}; pass a dividing block_size')
+        fn = self._jit('gibbs_fused', maxiter=maxiter,
+                       block_size=block_size, mesh=mesh)
+        gibbs_update = getattr(self.family, 'gibbs_update', None)
+
+        def run(data, key):
+            comps0 = self.components_prior
+            gatings0 = self.inner_gating_prior
+            outer0 = self.outer_gating_prior
+            params0 = jax.vmap(self.family.mode_params)(comps0)
+
+            def sweep(carry, k):
+                comps, gatings, outer, params_prev, _ = carry
+                k_par, k_po, k_pi, k_lab = jax.random.split(k, 4)
+                if gibbs_update is None:
+                    params = jax.vmap(self.family.sample_params)(
+                        jax.random.split(k_par, mm), comps)
+                else:
+                    # hierarchical-style families sample params inside
+                    # their own gibbs_update below; reuse last sweep's
+                    params = params_prev
+                pi_o = outer.sample(k_po)
+                pi_i = jax.vmap(lambda g, kk_: g.sample(kk_))(
+                    gatings, jax.random.split(k_pi, mm))       # (M, K)
+                log_pi = (jnp.log(jnp.clip(pi_o, 1e-37, None))[:, None]
+                          + jnp.log(jnp.clip(pi_i, 1e-37, None))
+                          ).reshape(-1)
+                if mesh is None:
+                    labels, res = fused_gibbs_blockwise(
+                        spec, k_lab, params, log_pi, data, block_size)
+                else:
+                    labels, res = fused_gibbs_sharded(
+                        spec, k_lab, params, log_pi, data, block_size,
+                        mesh)
+                counts, stats = self._split_flat(res)
+                if gibbs_update is None:
+                    comps = jax.vmap(
+                        lambda p, s: self.family.update(p, s))(
+                        self.components_prior, stats)
+                else:
+                    comps, params = jax.vmap(gibbs_update)(
+                        jax.random.split(k_par, mm),
+                        self.components_prior, stats)
+                gatings = jax.vmap(lambda p, c: p.update(c))(
+                    self.inner_gating_prior, counts)
+                outer = self.outer_gating_prior.update(
+                    jnp.sum(counts, axis=-1))
+                # labels ride the carry (stacking them as a scan output
+                # would materialize (maxiter, N) in HBM)
+                return (comps, gatings, outer, params, labels), None
+
+            n = data[0].shape[0]
+            labels0 = jnp.zeros((n,), jnp.int32)
+            (comps, gatings, outer, _, labels), _ = jax.lax.scan(
+                sweep, (comps0, gatings0, outer0, params0, labels0),
+                jax.random.split(key, maxiter))
+            return HMixGibbsState(outer_gating=outer, inner_gating=gatings,
+                                  components=comps,
+                                  labels=labels // kk)
+
+        return fn(run, data, key)
 
     # -- likelihood-only EM (hgmm.py:59-88, hilr.py:39-78) ------------------
 
@@ -436,6 +557,90 @@ class BayesianMixtureOfMixtures:
 
             (_, _), (states, trace) = jax.lax.scan(
                 step, (inner_resp, outer_resp), None, length=maxiter)
+            return jax.tree.map(lambda a: a[-1], states), trace
+
+        return fn(run, data, key)
+
+    # -- MAP EM --------------------------------------------------------------
+
+    def fit_map(self, data, key=None, maxiter=100, maxsubiter=5):
+        """Nested MAP expectation-maximization: posterior update + mode
+        plug-in at BOTH levels, weight-masked inner updates.
+
+        The reference declares but never implements this engine — its
+        nested-ILR `max_aposteriori` raises NotImplementedError
+        (hilr.py:341-344) and the nested GMM omits it entirely — so this
+        fills the one engine x model hole: the natural composition of the
+        flat MAP-EM (gmm.py:176-204) with the nested weighted E-step
+        (hgmm.py:422-431). Per sweep: outer responsibilities under plug-in
+        mode params -> `maxsubiter` inner MAP iterations (posterior <-
+        prior (+) weighted stats; params <- mode) -> outer gating MAP.
+        Returns (HMixState, complete-data log-posterior-ish trace)."""
+        data = self._tx_data(data)
+        key = _as_key(key)
+        fn = self._jit('map', maxiter=maxiter, maxsubiter=maxsubiter)
+
+        def m_step(inner_resp, outer_resp):
+            """Weighted MAP at both levels -> (HMixState, plug-in params,
+            inner log_pi (M, K))."""
+            weighted = inner_resp * outer_resp.T[:, :, None]    # (M, N, K)
+
+            def per_cluster(prior_c, prior_g, w):
+                stats = self.family.suff_stats(data, w)
+                counts = jnp.sum(w, axis=0)
+                comp = self.family.update(prior_c, stats)
+                gating = prior_g.update(counts)
+                params = self.family.mode_params(comp)
+                log_pi = jnp.log(jnp.clip(gating.mode(), 1e-37, None))
+                return comp, gating, params, log_pi
+
+            comps, gatings, params, ilp = jax.vmap(per_cluster)(
+                self.components_prior, self.inner_gating_prior, weighted)
+            outer = self.outer_gating_prior.update(
+                jnp.sum(outer_resp, axis=0))
+            state = HMixState(outer_gating=outer, inner_gating=gatings,
+                              components=comps)
+            return state, params, ilp
+
+        def run(data, key):
+            n = data[0].shape[0]
+            m, kk = self.cluster_size, self.mixture_size
+            # anchor-seeded responsibilities at both levels (see fit_em:
+            # a flat random init is a symmetric fixed point under vmap)
+            x0 = data[0]
+            idx = jax.random.choice(key, n, (m, kk), replace=False)
+            anchors = x0[idx]                                   # (M, K, d)
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+            d2 = jnp.sum((x0[None, :, None, :]
+                          - anchors[:, None, :, :]) ** 2, axis=-1)
+            inner_resp0 = jax.nn.softmax(-0.5 * d2 / scale2, axis=-1)
+            outer_resp0 = jax.nn.softmax(
+                -0.5 * jnp.min(d2, axis=-1).T / scale2, axis=-1)  # (N, M)
+
+            def plug_in_elc(params, ilp):
+                """(M, N, K) complete loglik under plug-in mode params."""
+                return (jax.vmap(lambda p: self.family.loglik(p, data))(
+                    params) + ilp[:, None, :])
+
+            def step(carry, _):
+                inner_resp, outer_resp = carry
+
+                def sub(j, ir):
+                    _, params, ilp = m_step(ir, outer_resp)
+                    return jax.nn.softmax(plug_in_elc(params, ilp), axis=-1)
+
+                inner_resp = jax.lax.fori_loop(0, maxsubiter, sub,
+                                               inner_resp)
+                state, params, ilp = m_step(inner_resp, outer_resp)
+                outer_log_pi = jnp.log(jnp.clip(
+                    state.outer_gating.mode(), 1e-37, None))
+                log_p = (logsumexp(plug_in_elc(params, ilp), axis=-1).T
+                         + outer_log_pi[None, :])
+                outer_resp, lognorm = normalize_log(log_p)
+                return (inner_resp, outer_resp), (state, jnp.sum(lognorm))
+
+            (_, _), (states, trace) = jax.lax.scan(
+                step, (inner_resp0, outer_resp0), None, length=maxiter)
             return jax.tree.map(lambda a: a[-1], states), trace
 
         return fn(run, data, key)

@@ -89,13 +89,6 @@ def _elbo_loop(step, carry0, maxiter, tol):
     return carry, jnp.where(jnp.arange(maxiter) < i, trace, last)
 
 
-def reanchor(state: MFState) -> MFState:
-    """prior <- posterior re-anchoring between super-iterations — the
-    flagship ILR recipe's warm-start (evaluate_sine.py:153-155). Returns the
-    posterior as a pytree suitable to use as the new priors."""
-    return state
-
-
 class BayesianMixture:
     """A Bayesian mixture of `K` conjugate-family components with a
     Dirichlet or stick-breaking (DP) gating prior.

@@ -58,6 +58,9 @@ def main():
 
     @jax.jit
     def bits_only(keys):
+        # the uint32 sum wraps around and its value is meaningless — the
+        # reduction exists only to keep the bits materialized (defeat DCE);
+        # we time bit GENERATION here, not the sum
         def body(c, kb):
             b = jax.random.bits(kb, (BS, K), jnp.uint32)
             return c + jnp.sum(b.astype(jnp.uint32)), None

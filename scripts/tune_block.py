@@ -3,12 +3,16 @@
 Prints iters/s for each candidate block size at the bench workload
 (N=1e6, K=50, d=2) so bench.py's default can be pinned to the best."""
 
+import os
 import sys
 import time
 
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+
 import jax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.join(_repo, '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import jax.numpy as jnp

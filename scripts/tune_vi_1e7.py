@@ -1,8 +1,9 @@
 """Block-size sweep for the fused VI engine at N=1e7 (K=50, d=2)."""
 import sys, os, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
 import jax
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.join(_repo, '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp
 from mimo_tpu.models.gmm import BayesianGMM

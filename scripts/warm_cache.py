@@ -9,11 +9,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
 
 import jax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.join(_repo, '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import jax.numpy as jnp

@@ -4,6 +4,7 @@ SMC-flavored population Gibbs, and its transform consistency on ILR."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mimo_tpu.models.gmm import BayesianGMM
 from mimo_tpu.models.ilr import BayesianILR
@@ -33,6 +34,7 @@ def test_fit_chains_cached_and_deterministic():
     assert 0 <= int(idx) < 4
 
 
+@pytest.mark.slow
 def test_smc_gibbs_gmm_improves():
     x = _gmm_data()
     m = BayesianGMM.make(size=8, dim=2, gating='dp', kappa=0.05,
@@ -45,6 +47,7 @@ def test_smc_gibbs_gmm_improves():
     assert states.labels.shape == (4, x.shape[0])
 
 
+@pytest.mark.slow
 def test_smc_gibbs_ilr_transform_consistency():
     """Regression: smc_gibbs used to init chains through the ILR fit_gibbs
     wrapper (standardized data) but sweep/score on raw data — two different

@@ -76,6 +76,7 @@ def test_em_hier_raises(gmm_data):
         m.fit_em(gmm_data, key=0, maxiter=5)
 
 
+@pytest.mark.slow
 def test_hmix_svi_runs():
     """Nested SVI keeps the two super-clusters separated."""
     rng = np.random.default_rng(0)
@@ -101,6 +102,7 @@ def test_hmix_svi_runs():
     assert lab[left][0] != lab[~left][0]
 
 
+@pytest.mark.slow
 def test_predictive_activation_and_incremental():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.uniform(-3, 3, (400, 1)), jnp.float64)

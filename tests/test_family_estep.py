@@ -101,6 +101,7 @@ def test_fused_stats_match_suff_stats(xy, rng):
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_gmm_fused_equals_standard(rng):
     from mimo_tpu.models.gmm import BayesianGMM
     from mimo_tpu.distributions.niw import GaussParams
@@ -124,6 +125,7 @@ def test_gmm_fused_equals_standard(rng):
         np.testing.assert_allclose(float(v1[-1]), float(v2[-1]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ilr_fused_equals_standard(rng):
     from mimo_tpu.models.ilr import BayesianILR
     x = jnp.asarray(rng.uniform(-3, 3, (1600, 1)))
@@ -163,6 +165,7 @@ def test_gmm_fused_gibbs_recovers(rng):
         assert np.min(np.linalg.norm(est - np.asarray(t), axis=-1)) < 0.4
 
 
+@pytest.mark.slow
 def test_ilr_fused_gibbs_recovers(rng):
     from mimo_tpu.models.ilr import BayesianILR
     from mimo_tpu.models.mixture import MFState
@@ -210,6 +213,7 @@ def test_hier_gmm_fused_equals_standard(rng):
     assert np.isfinite(np.asarray(gs.components.mus)).all()
 
 
+@pytest.mark.slow
 def test_ilr_tied_affine_and_hier_basis_fused(rng):
     """tied_affine_spec / hier-basis ILR: fused VI must match the dense
     engine (both were previously dense-only)."""

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from mimo_tpu.models.gmm import BayesianGMM
-from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+from mimo_tpu.models.hmix import BayesianMixtureOfMixtures, HMixState
 from mimo_tpu.models.mixture import MFState
 from mimo_tpu.distributions.niw import GaussParams
 
@@ -125,6 +125,7 @@ def test_mixture_of_mixtures_ilr_builds(nested_data):
     assert np.isfinite(np.asarray(tr)).all()
 
 
+@pytest.mark.slow
 def test_mixture_of_mixtures_ilr_predict():
     """Two-level predictive (hilr.py:527-609): moment-matched prediction
     on a sine reaches the noise floor; mode prediction and NLPD work."""
@@ -149,6 +150,7 @@ def test_mixture_of_mixtures_ilr_predict():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mixture_of_mixtures_log_predictive(nested_data):
     """Predictive density of the nested GMM: in-distribution points score
     higher than far-away outliers."""
@@ -266,6 +268,7 @@ def test_hmix_fused_vi_gmm():
     assert np.isfinite(np.asarray(v2)).all()
 
 
+@pytest.mark.slow
 def test_hmix_fused_vi_ilr():
     rng = np.random.default_rng(3)
     n = 800
@@ -284,3 +287,101 @@ def test_hmix_fused_vi_ilr():
     mu, _, _, nlpd = m.predict(st, x, y)
     rmse = float(jnp.sqrt(jnp.mean((mu - y) ** 2)))
     assert rmse < 0.3, rmse
+
+
+def test_mixture_of_mixtures_map(nested_data):
+    """Nested MAP-EM (the one engine x model cell the reference declares
+    but never implements — hilr.py:341-344 raises NotImplementedError):
+    posterior update + mode plug-in at both levels, weight-masked. The
+    trace must improve and the super-clusters separate, and the map
+    estimate must behave like the EM one with priors (shrinkage)."""
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, dtype=jnp.float64)
+    fits = [m.fit_map(x, key=s, maxiter=60, maxsubiter=4)
+            for s in range(4)]
+    st, tr = max(fits, key=lambda f: float(f[1][-1]))
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all()
+    assert tr[-1] > tr[0]
+    assert tr[-1] >= tr[10:].min() - 1e-6
+    # posterior state is a valid HMixState: predictive + outer resp work
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 800 and r_major[1] > 800
+    lp = np.asarray(m.log_predictive(st, x[:50]))
+    assert np.isfinite(lp).all()
+
+
+def test_mixture_of_mixtures_map_ilr():
+    """Nested MAP for the ILR variant."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-2, 2, (800, 1)))
+    y = jnp.asarray(np.sin(np.asarray(x) * 3)
+                    + 0.1 * rng.standard_normal((800, 1)))
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=4, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    st, tr = m.fit_map((x, y), key=0, maxiter=40, maxsubiter=3)
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all()
+    assert tr[-1] > tr[0]
+    mu, _, _, _ = m.predict(st, x)
+    assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_hmix_fused_gibbs_gmm(nested_data):
+    """Nested fused Gibbs (joint flat (z, c) label sweep) recovers the two
+    super-clusters without ever materializing the (M, N, K) log-prob
+    tensor of fit_gibbs."""
+    x = nested_data
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -4], [5, 4]],
+        dtype=jnp.float64)
+    gs = m.fit_gibbs_fused(x, key=1, maxiter=40, block_size=500)
+    counts = np.bincount(np.asarray(gs.labels), minlength=2)
+    assert counts.sum() == x.shape[0]
+    lab = np.asarray(gs.labels)
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 900 and r_major[1] > 900
+    assert np.isfinite(np.asarray(
+        jax.tree.leaves(gs.components)[0])).all()
+    # hierarchical inner family goes through gibbs_update
+    mh = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=4,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float64)
+    gsh = mh.fit_gibbs_fused(x, key=1, maxiter=30, block_size=500)
+    assert np.bincount(np.asarray(gsh.labels), minlength=2).sum() == \
+        x.shape[0]
+    assert np.isfinite(np.asarray(
+        jax.tree.leaves(gsh.components)[0])).all()
+
+
+def test_hmix_fused_gibbs_ilr():
+    rng = np.random.default_rng(3)
+    n = 800
+    x1 = rng.uniform(-2, 0, (n // 2, 1))
+    x2 = rng.uniform(0, 2, (n // 2, 1))
+    y = np.vstack([1.5 * x1 + 1, -2.0 * x2 + 0.5]) \
+        + 0.05 * rng.standard_normal((n, 1))
+    x = jnp.asarray(np.vstack([x1, x2]), jnp.float64)
+    y = jnp.asarray(y, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=2, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    gs = m.fit_gibbs_fused((x, y), key=1, maxiter=50, block_size=400)
+    st = HMixState(outer_gating=gs.outer_gating,
+                   inner_gating=gs.inner_gating,
+                   components=gs.components)
+    mu, _, _, _ = m.predict(st, x)
+    assert np.isfinite(np.asarray(mu)).all()

@@ -41,6 +41,7 @@ def _fit(x, y, size=30, gibbs=50, vi=200, diag=False, alpha=5.0,
     return m, st, vlb
 
 
+@pytest.mark.slow
 def test_sine_rmse_nlpd(sine):
     x, y = sine
     m, st, vlb = _fit(x.astype(jnp.float64), y.astype(jnp.float64))
@@ -76,6 +77,7 @@ def test_mode_vs_average_prediction(sine):
         assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.2
 
 
+@pytest.mark.slow
 def test_diag_noise_experts(sine):
     x, y = sine
     m, st, vlb = _fit(x.astype(jnp.float64), y.astype(jnp.float64),
@@ -100,6 +102,7 @@ def test_svi_path(sine):
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.2
 
 
+@pytest.mark.slow
 def test_super_iteration_reanchoring(sine):
     """The flagship recipe: Gibbs init -> [SVI -> prior<-posterior] x2
     (evaluate_sine.py:131-155)."""
@@ -118,6 +121,7 @@ def test_super_iteration_reanchoring(sine):
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.2
 
 
+@pytest.mark.slow
 def test_multi_output(rng):
     """2-D input -> 2-D output regression."""
     n = 800
@@ -137,6 +141,7 @@ def test_multi_output(rng):
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.15
 
 
+@pytest.mark.slow
 def test_tied_affine_experts(sine):
     """Shared-slope experts with per-component offsets
     (bayesian.py:1222-1522): piecewise-parallel fit of the sine."""
@@ -157,6 +162,7 @@ def test_tied_affine_experts(sine):
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.3
 
 
+@pytest.mark.slow
 def test_tied_affine_hier_basis(sine):
     """The hilr tied-activation configuration (hilr.py:79): hierarchical
     basis + tied-affine experts."""
@@ -175,6 +181,7 @@ def test_tied_affine_hier_basis(sine):
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.35
 
 
+@pytest.mark.slow
 def test_nlpd_in_original_units():
     """NLPD must include the standardization Jacobian: scaling y by c with a
     refit transform shifts NLPD by exactly out_dim * log(c) (the
@@ -201,6 +208,7 @@ def test_nlpd_in_original_units():
                                np.log(c), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sample_from_fitted_ilr():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-6, 6, (1500, 1)), jnp.float64)

@@ -54,6 +54,7 @@ def test_suff_stats_oracle(rng):
         stats.xxT, np.einsum('nd,nk,nl->kdl', x, r, x), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_expected_log_likelihood_monte_carlo(rng, key):
     """E_q[log N(x|mu,Lambda^-1)] via 20k NW samples."""
     p = random_niw(rng, k=2, d=2)
@@ -97,6 +98,7 @@ def test_predictive_equals_marginal_of_one_point(rng):
     np.testing.assert_allclose(lml, pred, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_predictive_studentt_monte_carlo(rng, key):
     """Predictive t == E_{(mu,L)~NW}[N(x|mu,L^-1)] (log-domain MC check)."""
     p = random_niw(rng, k=2, d=2)

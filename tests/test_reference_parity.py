@@ -424,6 +424,7 @@ def test_tied_affine_ell_parity(rng):
     np.testing.assert_allclose(ours, ref_ell.T, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_ilr_step_end_to_end_parity(rng):
     """End-to-end workload parity: identical step data + priors through
     Gibbs(100) -> VI(1000) in both frameworks; predictive RMSE must agree.

@@ -138,3 +138,60 @@ def test_ilr_sharded_vi(data):
                                          maxiter=30)
     np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
                                rtol=1e-7)
+
+
+def test_hmix_fused_vi_sharded_equals_unsharded():
+    """Nested fused VI under shard_map == single-device nested fused VI."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 1024), blob([5, 5], 1024)])
+    x = jnp.asarray(x[rng.permutation(2048)], jnp.float64)
+    mesh = make_mesh()
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -5], [5, 5]],
+        dtype=jnp.float64)
+    ref_state, ref_vlb = m.fit_vi_fused(x, key=0, maxiter=30,
+                                        block_size=256)
+    xs = shard_data(mesh, x)
+    sh_state, sh_vlb = m.fit_vi_fused(xs, key=0, maxiter=30,
+                                      block_size=256, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sh_state.components.mu),
+                               np.asarray(ref_state.components.mu),
+                               rtol=1e-8)
+
+
+def test_hmix_fused_gibbs_sharded_runs():
+    """Nested fused Gibbs under shard_map: device-local labels, psum'd
+    flat stats; cluster mass and separation only (per-device streams)."""
+    from collections import Counter
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 1024), blob([5, 5], 1024)])
+    xp = x[rng.permutation(2048)]
+    x = jnp.asarray(xp, jnp.float64)
+    mesh = make_mesh()
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -5], [5, 5]],
+        dtype=jnp.float64)
+    xs = shard_data(mesh, x)
+    gs = m.fit_gibbs_fused(xs, key=3, maxiter=40, block_size=256,
+                           mesh=mesh)
+    lab = np.asarray(gs.labels)
+    assert lab.shape == (2048,)
+    left = xp[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 950 and r_major[1] > 950
