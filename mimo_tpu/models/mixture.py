@@ -400,7 +400,7 @@ class BayesianMixture:
 
     def fit_svi(self, data, key=None, maxiter=500, step_size=1e-2,
                 batch_size=128, init_state=None, randomize=True,
-                track_elbo=False, forgetting=None, delay=1.0):
+                track_elbo=False, forgetting=None, delay=1.0, mesh=None):
         """Stochastic natural-gradient VI: one random minibatch per step
         (matching the reference's `batches` semantics, data.py:9-12),
         nat-space blending. Returns (MFState, vlb_trace) where the trace
@@ -411,13 +411,56 @@ class BayesianMixture:
         Robbins–Monro schedule rho_t = step_size * (t + 1 + delay)^(-forgetting)
         (Hoffman et al. 2013, eq. 26), which the stochastic-approximation
         convergence theory actually requires; `step_size=1.0` gives the
-        textbook rule."""
+        textbook rule.
+
+        With `mesh` (a ('chain','data') mesh; shard data over 'data'
+        first), each step runs under shard_map: every device draws
+        batch_size // n_devices points from its LOCAL shard (stratified
+        minibatch — unbiased when shards are randomly distributed, and the
+        gather never crosses devices), computes local statistics, and one
+        (K, m)-sized psum crosses the mesh; the nat-space blend is
+        replicated K-sized math. track_elbo is unsupported with mesh
+        (full-data ELBO inside the step defeats the point)."""
         data = _as_tuple(data)
         key = _as_key(key)
+        if mesh is not None:
+            if track_elbo:
+                raise ValueError('track_elbo with mesh= is unsupported')
+            n_dev = mesh.shape['data']
+            if batch_size % n_dev:
+                raise ValueError(f'batch_size={batch_size} must be a '
+                                 f'multiple of the data-mesh size {n_dev}')
         fn = self._jitted('svi', maxiter=maxiter, batch_size=batch_size,
                           randomize=randomize, track_elbo=track_elbo,
                           scheduled=forgetting is not None,
-                          warm=init_state is not None)
+                          warm=init_state is not None, mesh=mesh)
+
+        def _batch_stats(state, k_batch, data, n):
+            """(stats, counts) of one minibatch: global gather, or
+            stratified per-device gather + psum under shard_map."""
+            if mesh is None:
+                idx = sample_batch_indices(k_batch, n, batch_size)
+                batch = tuple(d[idx] for d in data)
+                resp = self.expected_responsibilities(state, batch)
+                return (self.family.suff_stats(batch, resp),
+                        jnp.sum(resp, axis=0))
+
+            from jax.sharding import PartitionSpec as P
+            local_b = batch_size // mesh.shape['data']
+
+            def local(state, key, *shard):
+                k = jax.random.fold_in(key, jax.lax.axis_index('data'))
+                idx = sample_batch_indices(k, shard[0].shape[0], local_b)
+                batch = tuple(d[idx] for d in shard)
+                resp = self.expected_responsibilities(state, batch)
+                stats = self.family.suff_stats(batch, resp)
+                counts = jnp.sum(resp, axis=0)
+                return jax.lax.psum((stats, counts), 'data')
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P()) + tuple(P('data') for _ in data),
+                out_specs=P())(state, k_batch, *data)
 
         def run(data, key, init_state, step_size, forgetting, delay):
             n = data[0].shape[0]
@@ -438,11 +481,7 @@ class BayesianMixture:
                     rho = step_size * (t.astype(data[0].dtype)
                                        + 1.0 + delay) ** -forgetting
                 k_batch, k_resp = jax.random.split(k)
-                idx = sample_batch_indices(k_batch, n, batch_size)
-                batch = tuple(d[idx] for d in data)
-                resp = self.expected_responsibilities(state, batch)
-                stats = self.family.suff_stats(batch, resp)
-                counts = jnp.sum(resp, axis=0)
+                stats, counts = _batch_stats(state, k_batch, data, n)
                 new = MFState(
                     components=self.family.svi_blend(
                         state.components, self.components_prior,

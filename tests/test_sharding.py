@@ -195,3 +195,22 @@ def test_hmix_fused_gibbs_sharded_runs():
     r_major = Counter(lab[~left].tolist()).most_common(1)[0]
     assert l_major[0] != r_major[0]
     assert l_major[1] > 950 and r_major[1] > 950
+
+
+def test_svi_sharded_runs_and_recovers(data):
+    """Sharded SVI: per-device stratified minibatches + psum'd stats.
+    Not bitwise-comparable to the unsharded run (different sampling), so
+    check recovery: posterior component means must land near the true
+    cluster centers."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    xs = shard_data(mesh, data)
+    st, _ = m.fit_svi(xs, key=4, maxiter=300, step_size=0.5,
+                      batch_size=512, mesh=mesh)
+    assert np.isfinite(np.asarray(st.components.mu)).all()
+    # every true center has a recovered component nearby
+    centers = np.array([[-4., 0.], [4., 0.], [0., 5.]])
+    mu = np.asarray(st.components.mu)
+    for c in centers:
+        assert np.min(np.linalg.norm(mu - c, axis=-1)) < 0.5
