@@ -26,6 +26,7 @@ DRIVERS = [
     ('hgmm.py', []),
     ('hilr.py', []),
     ('chains_smc.py', ['--chains', '4']),
+    ('ilr_sinc_study.py', ['--seeds', '3', '--svi_iters', '150']),
     ('stream_svi.py', ['--n', '100000']),
 ]
 
