@@ -20,10 +20,17 @@ from jax.scipy.special import digamma, gammaln, betaln
 
 
 def _reverse_cumsum_exclusive(counts):
-    """N>_k = sum_{j>k} N_j  (bayesian.py:132: hstack(cumsum(c[::-1])[-2::-1], 0))."""
-    total = jnp.sum(counts, axis=-1, keepdims=True)
-    inclusive = jnp.cumsum(counts, axis=-1)
-    return total - inclusive
+    """N>_k = sum_{j>k} N_j  (bayesian.py:132: hstack(cumsum(c[::-1])[-2::-1], 0)).
+
+    NOT computed as `total - cumsum(counts)`: that difference of two large
+    sums accumulated in different orders has f32 cancellation error ~ +-2
+    at counts ~ 1e7, and a negative N>_{K-1} (exactly 0 in exact math)
+    drives the Beta posterior's delta below 0 => digamma(delta) = NaN in
+    the stick KL (seen as intermittent non-finite ELBO entries at N=1e7).
+    The flip-cumsum-flip form makes the last entry 0 by construction; the
+    clamp guards the remaining one-rounding subtraction."""
+    inclusive_rev = jnp.flip(jnp.cumsum(jnp.flip(counts, -1), axis=-1), -1)
+    return jnp.maximum(inclusive_rev - counts, 0.0)
 
 
 class Dirichlet(NamedTuple):

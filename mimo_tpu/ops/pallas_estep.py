@@ -44,59 +44,113 @@ from mimo_tpu.distributions.niw import NIW, GaussStats
 from mimo_tpu.ops.estep import _estep_nat, EStepResult
 
 
+# The package pins jax_default_matmul_precision=float32 (HIGHEST) for the
+# K-sized posterior algebra, but the kernels' N-sized dots are explicitly
+# DEFAULT: at the E-step's tiny-contraction shape ((B, 8) against (8, K))
+# the MXU runs 2.8x faster at DEFAULT (5.7 -> 2.0 ms per dot over N=1e7,
+# scripts/roofline.py) and the measured stat error vs the f64 oracle stays
+# ~1e-5 relative (scripts/check_pallas.py) — statistics average over N, so
+# per-element rounding washes out. (HIGH is not lowerable by Mosaic.)
+_DOT_PREC = jax.lax.Precision.DEFAULT
+
+
 def _nt(a, b):
     """dot_general contracting the last (lane) axis of both operands:
     (M, B) x (N, B) -> (M, N)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_DOT_PREC)
 
 
-def _estep_kernel(n_valid, x_ref, h1_ref, h2_ref, c_ref,
-                  s1_ref, sxx_ref, cnt_ref, lse_ref):
+def _assemble_f(xt, m8):
+    """F = [1; x; x (x) x; 0-padding] as a (m8, B) REGISTER value.
+
+    This must stay a jnp.concatenate of register values: the earlier
+    kernel staged F through a VMEM scratch ref with per-stripe stores
+    (f_ref[1+d+j*d:...] = ...) and those sub-sublane-tile strided stores
+    serialized the whole block — 9.6 ms/iter vs 0.36 ms/iter for the
+    identical math at the bench shape (scripts/bisect_pallas.py,
+    BENCH_NOTES.md)."""
+    d, b = xt.shape
+    rows = [jnp.ones((1, b), jnp.float32), xt]
+    for j in range(d):
+        rows.append(xt * xt[j:j + 1, :])
+    m = 1 + d + d * d
+    if m8 > m:
+        rows.append(jnp.zeros((m8 - m, b), jnp.float32))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _estep_kernel2(n_valid, d, x_ref, theta_ref, acc_ref, lse_ref):
+    """Two-dot E-step body. Per (d, B) block:
+        F     = [1; x; x (x) x]  assembled in registers   (m8, B)
+        logp  = theta @ F                                 (K, B)  [1 MXU op]
+        resp-free softmax: ex, inv-denom on the (1, B) row
+        acc  += ex @ (F * inv_denom)^T                    (K, m8) [1 MXU op]
+    The v1 kernel issued d+1 separate tiny-contraction dots for logp and
+    d+1 more for the stats — 6 MXU streams per block at d=2 where 2
+    suffice; staging F via a VMEM scratch cost another 27x (see
+    BENCH_NOTES.md). theta carries c + log_pi in column 0 against F's
+    constant row, so counts fall out of acc[:, 0]."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        s1_ref[:] = jnp.zeros_like(s1_ref)
-        sxx_ref[:] = jnp.zeros_like(sxx_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
         lse_ref[:] = jnp.zeros_like(lse_ref)
 
-    xt = x_ref[:]                                    # (d, B)
-    d, b = xt.shape
+    xt = x_ref[:]                                        # (d, B)
+    b = xt.shape[1]
+    f = _assemble_f(xt, acc_ref.shape[1])                # (m8, B)
 
-    # quadratic-feature stripes, reused by logp and the stat reduction
-    stripes = [xt * xt[j:j + 1, :] for j in range(d)]    # d x (d, B)
-
-    # logp (K, B): native matmul orientation, contraction over d
-    logp = jnp.dot(h1_ref[:], xt,
-                   preferred_element_type=jnp.float32) + c_ref[:]
-    for j in range(d):
-        logp += jnp.dot(h2_ref[:, j * d:(j + 1) * d], stripes[j],
-                        preferred_element_type=jnp.float32)
-
-    m = jnp.max(logp, axis=0, keepdims=True)         # (1, B)
-    ex = jnp.exp(logp - m)                           # (K, B)
+    logp = jnp.dot(theta_ref[:], f, precision=_DOT_PREC,
+                   preferred_element_type=jnp.float32)   # (K, B)
+    mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
+    ex = jnp.exp(logp - mx)                              # (K, B)
     if n_valid is None:
-        denom = jnp.sum(ex, axis=0, keepdims=True)   # (1, B)
-        lse = m + jnp.log(denom)
-        resp = ex / denom                            # (K, B)
-    else:
-        # zero-mask padded tail columns (launcher pads N up to a
-        # block_size multiple) so they contribute nothing to stats/lse
-        col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-        mask = (col < n_valid).astype(jnp.float32)   # (1, B)
-        ex = ex * mask
         denom = jnp.sum(ex, axis=0, keepdims=True)
-        safe = jnp.maximum(denom, jnp.float32(1e-37))
-        lse = (m + jnp.log(safe)) * mask
-        resp = ex / safe                             # 0 on padded columns
-
-    s1_ref[:] += _nt(resp, xt)                       # (K, d)
-    for j in range(d):
-        sxx_ref[:, j * d:(j + 1) * d] += _nt(resp, stripes[j])
-    cnt_ref[:] += jnp.sum(resp, axis=1, keepdims=True)     # (K, 1)
+        lse = mx + jnp.log(denom)
+    else:
+        col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        mask = (col < n_valid).astype(jnp.float32)       # (1, B)
+        ex = ex * mask
+        denom = jnp.maximum(jnp.sum(ex, axis=0, keepdims=True),
+                            jnp.float32(1e-37))
+        lse = (mx + jnp.log(denom)) * mask
+    acc_ref[:] += _nt(ex, f / denom)                     # (K, m8)
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
+
+
+def _estep_pallas2(xt, theta, block_size, n_valid):
+    """Launcher: xt (d, N') pre-padded to a block_size multiple;
+    theta (K, m8) with column 0 = c + log_pi and m8 = ceil8(1+d+d^2)."""
+    d, n = xt.shape
+    k, m8 = theta.shape
+    assert n % block_size == 0
+    grid = n // block_size
+    acc, lse = pl.pallas_call(
+        functools.partial(_estep_kernel2, n_valid, d),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((d, block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, m8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != 'tpu',
+    )(xt, theta)
+    return acc, lse
 
 
 def pick_pallas_block(n, target=65536):
@@ -106,46 +160,6 @@ def pick_pallas_block(n, target=65536):
     target)."""
     nb = -(-n // target)
     return -(-(-(-n // nb)) // 128) * 128
-
-
-def _estep_pallas_xt(xt, h1, h2f, c2, block_size, n_valid):
-    """Kernel launcher on pre-transposed, already block-padded data
-    xt (d, N') with N' a multiple of block_size; n_valid (static int or
-    None) marks the real rows — tail columns beyond it are masked in the
-    kernel. c2 arrives (K, 1) so it broadcasts over the lane axis."""
-    d, n = xt.shape
-    k = h1.shape[0]
-    assert n % block_size == 0
-    grid = n // block_size
-    return pl.pallas_call(
-        functools.partial(_estep_kernel, n_valid),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((d, block_size), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, d), jnp.float32),
-            jax.ShapeDtypeStruct((k, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        # off-TPU (tests, dryruns) the kernel runs in the interpreter
-        interpret=jax.default_backend() != 'tpu',
-    )(xt, h1, h2f, c2)
 
 
 def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
@@ -166,11 +180,15 @@ def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
     elif n_valid == n:
         n_valid = None           # nothing masked: use the unmasked kernel
     h1, h2, c = _estep_nat(post, log_pi)
-    s1, sxx, cnt, lse = _estep_pallas_xt(
-        xt, h1.astype(jnp.float32), h2.reshape(k, d * d).astype(jnp.float32),
-        c.reshape(k, 1).astype(jnp.float32), block_size, n_valid)
-    counts = cnt[:, 0]
-    stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
+    m = 1 + d + d * d
+    m8 = -(-m // 8) * 8
+    theta = jnp.concatenate(
+        [c[:, None], h1, h2.reshape(k, d * d),
+         jnp.zeros((k, m8 - m), c.dtype)], axis=-1).astype(jnp.float32)
+    acc, lse = _estep_pallas2(xt, theta, block_size, n_valid)
+    counts = acc[:, 0]
+    stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
+                       xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
     return EStepResult(stats=stats, lse=lse[0, 0], counts=counts)
 
 

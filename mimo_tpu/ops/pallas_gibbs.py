@@ -1,15 +1,18 @@
 """Pallas TPU kernel: fused blocked-Gibbs label sweep for GMMs.
 
 Per block of B points, in one pass over HBM-resident data:
-    logp   = h1 @ x^T + h2 @ (x (x) x)^T + c        (K, B)   [plug-in params]
-    g      = Gumbel noise from the on-core PRNG                (pltpu.prng_*)
-    labels = argmax_k (logp + g)                     — categorical sampling
-    oh     = one_hot(labels)
-    s1 += oh^T x ; sxx += oh^T xx ; cnt += sum oh    — label statistics
+    F      = [1; x; x (x) x]   assembled in registers    (m8, B)
+    logp   = theta @ F                                   (K, B) [plug-in]
+    g      = Gumbel noise from the on-core PRNG          (pltpu.prng_*)
+    labels = argmax_k (logp + g)                         — categorical draw
+    acc   += one_hot(labels) @ F^T                       (K, m8)
 so a Gibbs sweep's entire data-side work (label sampling + sufficient
-statistics, reference gmm.py:227-237 + utils/stats.py:8-21) is one kernel:
-neither the N x K log-prob matrix nor the labels' one-hot ever exist in
-HBM. The K-sized conjugate updates and parameter draws stay in XLA.
+statistics, reference gmm.py:227-237 + utils/stats.py:8-21) is one kernel
+with exactly TWO MXU ops per block: neither the N x K log-prob matrix nor
+the labels' one-hot ever exist in HBM. The K-sized conjugate updates and
+parameter draws stay in XLA. Same layout rules as pallas_estep.py:
+(K, B) orientation, register-assembled F (a VMEM-scratch-staged F was
+27x slower — BENCH_NOTES.md).
 """
 
 import functools
@@ -23,36 +26,26 @@ from mimo_tpu.distributions.niw import GaussStats
 from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
+from mimo_tpu.ops.pallas_estep import _nt, _assemble_f, _DOT_PREC
 
-from mimo_tpu.ops.pallas_estep import _nt
 
-
-def _gibbs_kernel(n_valid, seed_ref, x_ref, h1_ref, h2_ref, c_ref,
-                  lab_ref, s1_ref, sxx_ref, cnt_ref):
-    """(K, B) orientation throughout — K on sublanes, points on lanes —
-    exactly like _estep_kernel (pallas_estep.py layout notes): the (B, K)
-    form pads K 50->128 on every VPU op and holds 2.3x more VMEM per
-    live array, which at production block sizes spills past VMEM."""
+def _gibbs_kernel(n_valid, d, seed_ref, x_ref, theta_ref,
+                  lab_ref, acc_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        s1_ref[:] = jnp.zeros_like(s1_ref)
-        sxx_ref[:] = jnp.zeros_like(sxx_ref)
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pltpu.prng_seed(seed_ref[0], i)
 
     xt = x_ref[:]                                    # (d, B)
-    d, b = xt.shape
-    k = h1_ref.shape[0]
+    b = xt.shape[1]
+    k = theta_ref.shape[0]
+    f = _assemble_f(xt, acc_ref.shape[1])            # (m8, B)
 
-    stripes = [xt * xt[j:j + 1, :] for j in range(d)]    # d x (d, B)
-    logp = jnp.dot(h1_ref[:], xt,
-                   preferred_element_type=jnp.float32) + c_ref[:]  # (K, B)
-    for j in range(d):
-        logp += jnp.dot(h2_ref[:, j * d:(j + 1) * d], stripes[j],
-                        preferred_element_type=jnp.float32)
+    logp = jnp.dot(theta_ref[:], f, precision=_DOT_PREC,
+                   preferred_element_type=jnp.float32)       # (K, B)
 
     # Gumbel-max categorical sampling with the on-core PRNG
     bits = pltpu.prng_random_bits((k, b))
@@ -75,10 +68,7 @@ def _gibbs_kernel(n_valid, seed_ref, x_ref, h1_ref, h2_ref, c_ref,
         col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
         oh = oh * (col < n_valid).astype(jnp.float32)
 
-    s1_ref[:] += _nt(oh, xt)                         # (K, d)
-    for j in range(d):
-        sxx_ref[:, j * d:(j + 1) * d] += _nt(oh, stripes[j])
-    cnt_ref[:] += jnp.sum(oh, axis=1, keepdims=True)       # (K, 1)
+    acc_ref[:] += _nt(oh, f)                         # (K, m8)
 
 
 def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
@@ -128,40 +118,39 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
     grid = (n + pad) // block_size
-    lab, s1, sxx, cnt = pl.pallas_call(
-        functools.partial(_gibbs_kernel, mask_n),
+    m = 1 + d + d * d
+    m8 = -(-m // 8) * 8
+    theta = jnp.concatenate(
+        [c2, h1, h2f, jnp.zeros((k, m8 - m), jnp.float32)], axis=-1)
+    lab, acc = pl.pallas_call(
+        functools.partial(_gibbs_kernel, mask_n, d),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((d, block_size), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d * d), lambda i: (0, 0),
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_size), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d * d), lambda i: (0, 0),
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
-            jax.ShapeDtypeStruct((k, d), jnp.float32),
-            jax.ShapeDtypeStruct((k, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+            jax.ShapeDtypeStruct((k, m8), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         # no interpret path: off-TPU the XLA fallback above returns first
         # (pltpu.prng_* has no interpreter lowering)
-    )(jnp.asarray([seed], jnp.int32), xt, h1, h2f, c2)
+    )(jnp.asarray([seed], jnp.int32), xt, theta)
 
-    counts = cnt[:, 0]
-    stats = GaussStats(x=s1, n1=counts, xxT=sxx.reshape(k, d, d), n2=counts)
+    counts = acc[:, 0]
+    stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
+                       xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
     return lab[0, :n_real], EStepResult(stats=stats,
                                         lse=jnp.zeros((), jnp.float32),
                                         counts=counts)

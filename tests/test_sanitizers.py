@@ -77,3 +77,22 @@ def test_clip_guards_extreme_gating(data):
                          kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
     state = m.fit_gibbs(data, key=3, maxiter=10)
     assert bool(jnp.all(jnp.isfinite(state.log_pi)))
+
+
+def test_stick_breaking_kl_finite_at_huge_counts():
+    """f32 cancellation in the exclusive reverse-cumsum (total - cumsum)
+    can make the LAST accumulated count slightly negative at counts ~ 1e7,
+    driving the Beta posterior's delta below 0 and the stick KL to NaN
+    (digamma(-1)); _reverse_cumsum_exclusive must clamp at 0."""
+    from mimo_tpu.distributions.gating import (StickBreaking,
+                                               _reverse_cumsum_exclusive)
+    # counts engineered so the f32 running sums disagree in the last slot
+    counts = jnp.asarray(
+        np.r_[np.full(49, 199944.39), 173269.0], jnp.float32)
+    acc = _reverse_cumsum_exclusive(counts)
+    assert float(acc[-1]) == 0.0
+    assert bool(jnp.all(acc >= 0.0))
+    prior = StickBreaking.standard(50, 1.0, jnp.float32)
+    post = prior.update(counts)
+    assert bool(jnp.all(post.delta >= prior.delta))
+    assert bool(jnp.isfinite(post.kl_divergence(prior)))
