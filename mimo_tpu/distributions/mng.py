@@ -219,7 +219,8 @@ def log_predictive_studentt(p: MNG, x, y):
     mus, lmbda, df = predictive_studentt_params(p, x)
     yc = y[:, None, :] - mus
     delta = lmbda * jnp.square(yc)
-    aux = (gammaln(0.5 * (df + 1.0)) - gammaln(0.5 * df)
+    from mimo_tpu.utils.stats import gammaln_diff
+    aux = (gammaln_diff(0.5 * df, 0.5)
            - 0.5 * (jnp.log(df) + jnp.log(jnp.pi).astype(x.dtype)))
     out = aux[None] + 0.5 * jnp.log(lmbda) \
         - 0.5 * (df[None] + 1.0) * jnp.log1p(delta / df[None])

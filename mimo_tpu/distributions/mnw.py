@@ -279,11 +279,11 @@ def log_predictive_studentt(p: MNW, x, y):
     yc = y[:, None, :] - mus                                  # (N, K, p)
     base_quad = jnp.einsum('nkp,kpr,nkr->nk', yc, p.psi, yc)
     delta = (df / c) * base_quad
-    from jax.scipy.special import gammaln
+    from mimo_tpu.utils.stats import gammaln_diff
     logdet_psi = chol_logdet(cholesky(p.psi))
     logdet_lmbda = pd * jnp.log(df / c) + logdet_psi          # (N, K)
     halfdfd = 0.5 * (df + pd)
-    aux = (gammaln(halfdfd) - gammaln(0.5 * df)
+    aux = (gammaln_diff(0.5 * df, 0.5 * pd)
            + 0.5 * logdet_lmbda
            - 0.5 * pd * (jnp.log(df) + jnp.log(jnp.pi).astype(x.dtype)))
     return aux - halfdfd * jnp.log1p(delta / df)

@@ -184,7 +184,8 @@ def log_predictive_studentt(p: NG, x):
     xc2 = (jnp.square(x)[:, None, :] - 2.0 * x[:, None, :] * mu[None]
            + jnp.square(mu)[None])                            # (N, K, d)
     delta = lmbda[None] * xc2
-    aux = (gammaln(0.5 * (df + 1.0)) - gammaln(0.5 * df)
+    from mimo_tpu.utils.stats import gammaln_diff
+    aux = (gammaln_diff(0.5 * df, 0.5)
            + 0.5 * (jnp.log(lmbda) - jnp.log(df) - jnp.log(jnp.pi).astype(x.dtype)))
     out = aux[None] - 0.5 * (df[None] + 1.0) * jnp.log1p(delta / df[None])
     return jnp.sum(out, axis=-1)

@@ -46,11 +46,20 @@ from mimo_tpu.ops.estep import _estep_nat, EStepResult
 
 # The package pins jax_default_matmul_precision=float32 (HIGHEST) for the
 # K-sized posterior algebra, but the kernels' N-sized dots are explicitly
-# DEFAULT: at the E-step's tiny-contraction shape ((B, 8) against (8, K))
-# the MXU runs 2.8x faster at DEFAULT (5.7 -> 2.0 ms per dot over N=1e7,
-# scripts/roofline.py) and the measured stat error vs the f64 oracle stays
-# ~1e-5 relative (scripts/check_pallas.py) — statistics average over N, so
-# per-element rounding washes out. (HIGH is not lowerable by Mosaic.)
+# DEFAULT (one bf16 MXU pass): at the E-step's tiny-contraction shape the
+# MXU runs ~3x faster than HIGHEST's 6 passes (scripts/roofline.py).
+#
+# Rounding analysis (scripts/precision_study.py): rounding the per-POINT
+# features F to bf16 is harmless — the errors are random across points and
+# average out of the N-summed statistics (counts max rel err ~1e-5). But
+# rounding THETA to bf16 is NOT: each component's c column (magnitude up
+# to ~60) takes a SYSTEMATIC log-density shift of up to log2(eps_bf16)*60
+# ~ 0.25 nats, which mis-weights responsibilities by up to e^0.25 and at
+# N=1e7 moved the converged ELBO by 12%. So logp uses a two-term
+# bf16 hi/lo split of theta (theta restored to ~2^-17 relative; still
+# 2 cheap DEFAULT passes, ~2x faster than one HIGHEST dot), and the stats
+# dot keeps a single DEFAULT pass (resp and F rounding are per-point
+# random). (HIGH is not lowerable by Mosaic.)
 _DOT_PREC = jax.lax.Precision.DEFAULT
 
 
@@ -60,6 +69,19 @@ def _nt(a, b):
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=_DOT_PREC)
+
+
+def _dot_split(theta, f):
+    """theta @ f with theta split into bf16 hi + lo parts: kills the
+    systematic per-component rounding (see module comment) at the cost of
+    one extra DEFAULT-precision pass; f is rounded to bf16 once per dot,
+    a random per-point perturbation."""
+    hi = theta.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = theta - hi
+    return (jnp.dot(hi, f, precision=_DOT_PREC,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(lo, f, precision=_DOT_PREC,
+                      preferred_element_type=jnp.float32))
 
 
 def _assemble_f(xt, m8):
@@ -103,8 +125,7 @@ def _estep_kernel2(n_valid, d, x_ref, theta_ref, acc_ref, lse_ref):
     b = xt.shape[1]
     f = _assemble_f(xt, acc_ref.shape[1])                # (m8, B)
 
-    logp = jnp.dot(theta_ref[:], f, precision=_DOT_PREC,
-                   preferred_element_type=jnp.float32)   # (K, B)
+    logp = _dot_split(theta_ref[:], f)                   # (K, B)
     mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
     ex = jnp.exp(logp - mx)                              # (K, B)
     if n_valid is None:

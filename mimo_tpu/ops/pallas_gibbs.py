@@ -26,7 +26,7 @@ from mimo_tpu.distributions.niw import GaussStats
 from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
-from mimo_tpu.ops.pallas_estep import _nt, _assemble_f, _DOT_PREC
+from mimo_tpu.ops.pallas_estep import _nt, _assemble_f, _dot_split
 
 
 def _gibbs_kernel(n_valid, d, seed_ref, x_ref, theta_ref,
@@ -44,8 +44,7 @@ def _gibbs_kernel(n_valid, d, seed_ref, x_ref, theta_ref,
     k = theta_ref.shape[0]
     f = _assemble_f(xt, acc_ref.shape[1])            # (m8, B)
 
-    logp = jnp.dot(theta_ref[:], f, precision=_DOT_PREC,
-                   preferred_element_type=jnp.float32)       # (K, B)
+    logp = _dot_split(theta_ref[:], f)               # (K, B)
 
     # Gumbel-max categorical sampling with the on-core PRNG
     bits = pltpu.prng_random_bits((k, b))

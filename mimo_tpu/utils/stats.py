@@ -47,6 +47,26 @@ def mvn_logpdf(x, mu, lmbda, logdet_lmbda=None):
     return 0.5 * (logdet_lmbda - d * LOG2PI) - 0.5 * quad
 
 
+def gammaln_diff(a, h):
+    """lgamma(a + h) - lgamma(a), stable for large a.
+
+    The naive difference of two lgamma values is catastrophic in f32 once
+    a is large: at a ~ 2.5e6 (a Gibbs/VI posterior's nu/2 after absorbing
+    N=1e7 points) lgamma(a) ~ 3.4e7 whose f32 ulp is 4.0 — a +-4 NAT error
+    on a Student-t normalizer whose true value is ~15. For a >= 100 use
+    the Stirling-series difference rearranged so no large terms cancel:
+      lgamma(a+h) - lgamma(a)
+        = (a - 0.5) log1p(h/a) + h log(a+h) - h - h / (12 a (a+h))
+    (truncation error O(1/a^3) ~ 1e-9 at the switch point, already far
+    below the f32 cancellation of the direct form there)."""
+    direct = gammaln(a + h) - gammaln(a)
+    a_safe = jnp.maximum(a, 100.0)      # keep the unused branch finite
+    stable = ((a_safe - 0.5) * jnp.log1p(h / a_safe)
+              + h * jnp.log(a_safe + h) - h
+              - h / (12.0 * a_safe * (a_safe + h)))
+    return jnp.where(a < 100.0, direct, stable)
+
+
 def mvt_logpdf(x, mu, lmbda, df):
     """Stacked multivariate Student-t log-pdf with precision-form scale.
 
@@ -60,7 +80,7 @@ def mvt_logpdf(x, mu, lmbda, df):
     d = x.shape[-1]
     delta = quad_form(x, lmbda, mu)                          # (N, K)
     halfdfd = 0.5 * (df + d)
-    aux = (gammaln(halfdfd) - gammaln(0.5 * df)
+    aux = (gammaln_diff(0.5 * df, 0.5 * d)
            + 0.5 * logdet_psd(lmbda)
            - 0.5 * d * (jnp.log(df) + jnp.log(jnp.asarray(jnp.pi, x.dtype))))
     return aux - halfdfd * jnp.log1p(delta / df)

@@ -55,3 +55,32 @@ def test_lse_identity(rng):
     resp, lse = normalize_log(l)
     direct = jnp.sum(resp * (l - jnp.log(resp)), axis=-1)
     np.testing.assert_allclose(direct, lse, rtol=1e-9)
+
+
+def test_gammaln_diff_stable_at_large_a():
+    """lgamma(a+h) - lgamma(a) via the rearranged Stirling difference: the
+    naive f32 difference has ulp-of-lgamma error (+-4 nats at a ~ 2.5e6,
+    the nu/2 of a posterior that absorbed N=1e7 points), which inflated
+    every Student-t predictive normalizer at Gibbs/VI scale."""
+    import math
+    from mimo_tpu.utils.stats import gammaln_diff
+    for a in (0.5, 2.0, 50.0, 99.5, 100.5, 1e4, 2.5e6, 1e8):
+        for h in (0.5, 1.0, 8.0):
+            exact = math.lgamma(a + h) - math.lgamma(a)
+            got = float(gammaln_diff(jnp.float32(a), jnp.float32(h)))
+            assert abs(got - exact) < 5e-4 * max(1.0, abs(exact)), (a, h)
+
+
+def test_mvt_logpdf_huge_df_matches_gaussian_limit():
+    """At df ~ 5e6 the Student-t is numerically Gaussian; the f32
+    normalizer must agree with the Gaussian logpdf to ~1e-3 (the old
+    naive gammaln difference was off by up to +-4)."""
+    from mimo_tpu.utils.stats import mvt_logpdf, mvn_logpdf
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 2)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((3, 2)), jnp.float32)
+    lm = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32) * 2.0, (3, 2, 2))
+    df = jnp.full((3,), 5e6, jnp.float32)
+    t = np.asarray(mvt_logpdf(x, mu, lm, df))
+    g = np.asarray(mvn_logpdf(x, mu, lm))
+    np.testing.assert_allclose(t, g, atol=2e-3)
