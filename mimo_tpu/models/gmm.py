@@ -85,157 +85,6 @@ class BayesianGMM(BayesianMixture):
             return hier_gaussian_spec()
         return None
 
-    def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
-                     block_size=None, init_state=None, randomize=True,
-                     backend='xla', mesh=None):
-        """Mean-field VI with a fused blockwise E-step (see
-        BayesianMixture.fit_vi_fused). backend='pallas' additionally
-        offers the hand-written Mosaic kernel (ops/pallas_estep.py,
-        full-covariance components only; block_size must be a multiple of
-        128)."""
-        if backend != 'pallas':
-            return super().fit_vi_fused(
-                data, key=key, maxiter=maxiter, tol=tol,
-                block_size=block_size, init_state=init_state,
-                randomize=randomize, mesh=mesh)
-        if mesh is not None:
-            raise NotImplementedError(
-                "backend='pallas' is single-chip; use backend='xla' with "
-                'mesh for the shard_map path')
-        from mimo_tpu.distributions.niw import NIW as _NIW
-        from mimo_tpu.ops.pallas_estep import (
-            estep_from_xt, pick_pallas_block)
-        if not isinstance(self.components_prior, _NIW):
-            raise TypeError('the pallas engine supports full-covariance '
-                            '(NIW) components only')
-        data = data if isinstance(data, tuple) else (data,)
-        x = data[0]
-        if block_size is None:
-            # lane tiling wants a multiple of 128; any N works — data is
-            # zero-padded to a block multiple once and the kernel masks
-            # the tail
-            block_size = pick_pallas_block(x.shape[0])
-        if isinstance(key, int) or key is None:
-            key = jax.random.PRNGKey(key or 0)
-        cache_key = ('vi_fused_pallas', maxiter, block_size, randomize,
-                     tol is not None, init_state is not None)
-        if cache_key not in self._cache:
-            def run(x, key, init_state, tol):
-                from mimo_tpu.models.mixture import MFState as _MF
-                n = x.shape[0]
-                # pad ONCE, outside the sweep scan (the kernel masks the
-                # tail via n_valid) — padding inside step() would re-copy
-                # the whole dataset every sweep
-                xt = jnp.pad(x.astype(jnp.float32).T,
-                             ((0, 0), (0, (-n) % block_size)))
-                if randomize or init_state is None:
-                    r = jax.random.uniform(key, (x.shape[0], self.size),
-                                           dtype=x.dtype, minval=1e-3,
-                                           maxval=1.0)
-                    resp = r / jnp.sum(r, axis=-1, keepdims=True)
-                    state = self._mf_update((x,), resp)
-                else:
-                    state = init_state
-
-                def step(state, _):
-                    log_pi = state.gating.expected_log_pi()
-                    res = estep_from_xt(state.components, log_pi, xt,
-                                        block_size, n_valid=n)
-                    vlb = (res.lse
-                           - jnp.sum(self.family.kl(state.components,
-                                                    self.components_prior))
-                           - jnp.sum(state.gating.kl_divergence(
-                               self.gating_prior)))
-                    new = _MF(
-                        components=self.family.update(
-                            self.components_prior,
-                            jax.tree.map(lambda a: a.astype(x.dtype),
-                                         res.stats)),
-                        gating=self.gating_prior.update(
-                            res.counts.astype(x.dtype)))
-                    return new, vlb
-
-                from mimo_tpu.models.mixture import _elbo_loop
-                state, vlb = _elbo_loop(step, state, maxiter, tol)
-                return state, vlb
-
-            self._cache[cache_key] = jax.jit(run)
-        return self._cache[cache_key](x, key, init_state, tol)
-
-    def fit_gibbs_fused(self, data, key=None, maxiter=100,
-                        block_size=None, backend='xla', mesh=None):
-        """Blocked Gibbs with a fused blockwise label sweep (see
-        BayesianMixture.fit_gibbs_fused). backend='pallas' additionally
-        offers the hand-written Mosaic kernel with the on-core PRNG
-        (ops/pallas_gibbs.py, full-covariance components only)."""
-        if backend != 'pallas':
-            return super().fit_gibbs_fused(data, key=key, maxiter=maxiter,
-                                           block_size=block_size, mesh=mesh)
-        if mesh is not None:
-            raise NotImplementedError(
-                "backend='pallas' is single-chip; use backend='xla' with "
-                'mesh for the shard_map path')
-        from mimo_tpu.distributions.niw import NIW as _NIW
-        from mimo_tpu.models.mixture import GibbsState as _GS
-        from mimo_tpu.ops.pallas_estep import pick_pallas_block
-        from mimo_tpu.ops.pallas_gibbs import (
-            gibbs_labels_from_xt, gauss_plugin_nat)
-        if not isinstance(self.components_prior, _NIW):
-            raise TypeError('the pallas engine supports full-covariance '
-                            '(NIW) components only')
-        data = data if isinstance(data, tuple) else (data,)
-        x = data[0]
-        if block_size is None:
-            # any N: data is zero-padded to a block multiple once and the
-            # kernel masks the tail
-            block_size = pick_pallas_block(x.shape[0])
-        if isinstance(key, int) or key is None:
-            key = jax.random.PRNGKey(key or 0)
-        cache_key = ('gibbs_fused_pallas', maxiter, block_size)
-        if cache_key not in self._cache:
-            def run(x, key):
-                n = x.shape[0]
-                # pad ONCE, outside the sweep scan (kernel masks the tail)
-                xt = jnp.pad(x.astype(jnp.float32).T,
-                             ((0, 0), (0, (-n) % block_size)))
-                comp = self.components_prior
-                gating = self.gating_prior
-
-                params0 = self.family.mode_params(comp)
-                log_pi0 = jnp.log(jnp.full((self.size,), 1.0 / self.size,
-                                           x.dtype))
-                labels0 = jnp.zeros((x.shape[0],), jnp.int32)
-
-                def sweep(carry, inp):
-                    comp, gating, _, _, _ = carry
-                    k_par, k_pi, seed_bits = inp
-                    params = self.family.sample_params(k_par, comp)
-                    probs = gating.sample(k_pi)
-                    log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
-                    nat = gauss_plugin_nat(params, log_pi)
-                    labels, res = gibbs_labels_from_xt(
-                        seed_bits, nat, xt, block_size, n_valid=n)
-                    stats = jax.tree.map(lambda a: a.astype(x.dtype),
-                                         res.stats)
-                    comp = self.family.update(self.components_prior, stats)
-                    gating = self.gating_prior.update(
-                        res.counts.astype(x.dtype))
-                    return (comp, gating, params, log_pi, labels), None
-
-                keys = jax.random.split(key, maxiter * 2).reshape(
-                    maxiter, 2, 2)
-                seeds = jax.random.randint(
-                    jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
-                    dtype=jnp.int32)
-                (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
-                    sweep, (comp, gating, params0, log_pi0, labels0),
-                    (keys[:, 0], keys[:, 1], seeds))
-                return _GS(components=comp, gating=gating, params=params,
-                           log_pi=log_pi, labels=labels)
-
-            self._cache[cache_key] = jax.jit(run)
-        return self._cache[cache_key](x, key)
-
     # sampling synthetic data from the prior predictive of given params
     def sample(self, state, key=None, n=1, params='mode'):
         """Draw (obs, labels) from the FITTED model — the reference's

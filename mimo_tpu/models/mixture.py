@@ -160,7 +160,7 @@ class BayesianMixture:
 
     def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
                      block_size=None, init_state=None, randomize=True,
-                     mesh=None):
+                     mesh=None, backend='auto'):
         """Mean-field VI with the fused blockwise E-step: log-densities and
         sufficient statistics are two matmuls per block over the family's
         feature map; the N x K responsibilities never exist
@@ -177,6 +177,13 @@ class BayesianMixture:
         the standard engine's trace shifted by one sweep. `tol` stops the
         sweep loop early once |dELBO| < tol (gmm.py:279-283; trace is
         constant-extended to keep static shape).
+
+        `backend`: 'auto' (default) routes single-chip runs of families
+        whose features the Mosaic kernel can assemble on-core (full /
+        diagonal / tied / hierarchical GMMs) through the hand-written
+        Pallas E-step when running on TPU — measured 3.6x the XLA fused
+        engine at N=1e7 (BENCH_NOTES.md) with ELBO matching to ~1e-5;
+        'xla' forces the XLA engine; 'pallas' requires the kernel path.
         Returns (MFState, vlb_trace)."""
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.family_estep import (
@@ -188,31 +195,49 @@ class BayesianMixture:
         data = _as_tuple(data)
         key = _as_key(key)
         n = data[0].shape[0]
-        local_n = n if mesh is None else n // mesh.shape['data']
-        if block_size is None:
-            block_size = pick_block_size(local_n)
-        if local_n % block_size:
-            raise ValueError(
-                f'per-device N={local_n} must be a multiple of block_size='
-                f'{block_size}; pass a block_size dividing it (any '
-                f'divisor works for the XLA engine), or use fit_vi')
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import (
+                fused_estep_pallas, pick_pallas_block)
+            if block_size is None:
+                block_size = pick_pallas_block(n)  # any N: pad + mask
+        else:
+            local_n = n if mesh is None else n // mesh.shape['data']
+            if block_size is None:
+                block_size = pick_block_size(local_n)
+            if local_n % block_size:
+                raise ValueError(
+                    f'per-device N={local_n} must be a multiple of '
+                    f'block_size={block_size}; pass a block_size dividing '
+                    'it (any divisor works for the XLA engine), or use '
+                    'fit_vi')
         fn = self._jitted('vi_fused', maxiter=maxiter, block_size=block_size,
                           randomize=randomize, tol=tol is not None,
-                          warm=init_state is not None, mesh=mesh)
+                          warm=init_state is not None, mesh=mesh,
+                          pallas=use_pallas)
 
         def run(data, key, init_state, tol):
             # n from the traced data, NOT the enclosing scope: the jitted
             # closure is cached per static key and reused across datasets
             n = data[0].shape[0]
+            dtype = data[0].dtype
             if randomize or init_state is None:
-                resp = _random_resp(key, n, self.size, data[0].dtype)
+                resp = _random_resp(key, n, self.size, dtype)
                 state = self._mf_update(data, resp)
             else:
                 state = init_state
+            if use_pallas:
+                # pad + transpose ONCE, outside the sweep loop
+                xt = jnp.pad(data[0].astype(jnp.float32).T,
+                             ((0, 0), (0, (-n) % block_size)))
 
             def step(state, _):
                 log_pi = state.gating.expected_log_pi()
-                if mesh is None:
+                if use_pallas:
+                    res = fused_estep_pallas(spec, state.components, log_pi,
+                                             xt, block_size, n)
+                    res = jax.tree.map(lambda a: a.astype(dtype), res)
+                elif mesh is None:
                     res = fused_estep_blockwise(spec, state.components,
                                                 log_pi, data, block_size)
                 else:
@@ -236,7 +261,7 @@ class BayesianMixture:
         return fn(run, data, key, init_state, tol)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
-                        mesh=None):
+                        mesh=None, backend='auto'):
         """Blocked Gibbs with a fused blockwise label sweep: plug-in
         log-densities and one-hot statistics are two matmuls per block
         over the family feature map — the N x K log-probs never exist
@@ -247,7 +272,11 @@ class BayesianMixture:
         With `mesh`, the label sweep runs under shard_map over the 'data'
         axis: labels stay device-local, the (K, m) one-hot statistics
         accumulator is psum'd, and each device samples from its own folded
-        PRNG stream (see ops/family_estep.fused_gibbs_sharded)."""
+        PRNG stream (see ops/family_estep.fused_gibbs_sharded).
+
+        `backend`: as in fit_vi_fused — 'auto' routes single-chip GMM
+        families through the Mosaic kernel with the on-core PRNG
+        (ops/pallas_gibbs.py, measured 5.6x the XLA engine at N=1e7)."""
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.family_estep import (
             fused_gibbs_blockwise, fused_gibbs_sharded)
@@ -258,39 +287,69 @@ class BayesianMixture:
         data = _as_tuple(data)
         key = _as_key(key)
         n = data[0].shape[0]
-        local_n = n if mesh is None else n // mesh.shape['data']
-        if block_size is None:
-            block_size = pick_block_size(local_n)
-        if local_n % block_size:
-            raise ValueError(
-                f'per-device N={local_n} must be a multiple of block_size='
-                f'{block_size}; pass a block_size dividing it (any '
-                f'divisor works for the XLA engine), or use fit_gibbs')
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import pick_pallas_block
+            from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
+            if block_size is None:
+                block_size = pick_pallas_block(n)  # any N: pad + mask
+        else:
+            local_n = n if mesh is None else n // mesh.shape['data']
+            if block_size is None:
+                block_size = pick_block_size(local_n)
+            if local_n % block_size:
+                raise ValueError(
+                    f'per-device N={local_n} must be a multiple of '
+                    f'block_size={block_size}; pass a block_size dividing '
+                    'it (any divisor works for the XLA engine), or use '
+                    'fit_gibbs')
         fn = self._jitted('gibbs_fused', maxiter=maxiter,
-                          block_size=block_size, mesh=mesh)
+                          block_size=block_size, mesh=mesh,
+                          pallas=use_pallas)
 
         def run(data, key):
             n = data[0].shape[0]     # from traced data, not enclosing scope
+            dtype = data[0].dtype
             comp = self.components_prior
             gating = self.gating_prior
             params0 = self.family.mode_params(comp)
             log_pi0 = jnp.log(jnp.full((self.size,), 1.0 / self.size,
-                                       data[0].dtype))
+                                       dtype))
             labels0 = jnp.zeros((n,), jnp.int32)
             gibbs_update = getattr(self.family, 'gibbs_update', None)
+            if use_pallas:
+                # pad + transpose ONCE, outside the sweep loop; per-sweep
+                # int32 seeds feed the kernel's on-core PRNG
+                xt = jnp.pad(data[0].astype(jnp.float32).T,
+                             ((0, 0), (0, (-n) % block_size)))
+                seeds = jax.random.randint(
+                    jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+            else:
+                seeds = jnp.zeros((maxiter,), jnp.int32)   # unused
 
-            def sweep(carry, k):
+            def sweep(carry, inp):
                 comp, gating, params_prev, _, _ = carry
+                k, seed = inp
                 k_par, k_pi, k_lab = jax.random.split(k, 3)
                 if gibbs_update is None:
                     params = self.family.sample_params(k_par, comp)
+                    # pin dtypes: under enable_x64 the param/stick samplers
+                    # promote to f64, which would flip the scan carry type
+                    params = jax.tree.map(lambda a, p0: a.astype(p0.dtype),
+                                          params, params0)
                 else:
                     # families with their own blocked-Gibbs M-side (e.g.
                     # hierarchical inner chains) produced params below
                     params = params_prev
                 probs = gating.sample(k_pi)
-                log_pi = jnp.log(jnp.clip(probs, 1e-37, None))
-                if mesh is None:
+                log_pi = jnp.log(jnp.clip(probs, 1e-37, None)).astype(dtype)
+                if use_pallas:
+                    labels, res = fused_gibbs_pallas(
+                        spec, seed, params, log_pi, xt, block_size, n)
+                    res = jax.tree.map(lambda a: a.astype(dtype)
+                                       if a.dtype != jnp.int32 else a, res)
+                elif mesh is None:
                     labels, res = fused_gibbs_blockwise(
                         spec, k_lab, params, log_pi, data, block_size)
                 else:
@@ -303,12 +362,14 @@ class BayesianMixture:
                     comp, params = gibbs_update(k_par,
                                                 self.components_prior,
                                                 res.stats)
+                    params = jax.tree.map(lambda a, p0: a.astype(p0.dtype),
+                                          params, params0)
                 gating = self.gating_prior.update(res.counts)
                 return (comp, gating, params, log_pi, labels), None
 
             (comp, gating, params, log_pi, labels), _ = jax.lax.scan(
                 sweep, (comp, gating, params0, log_pi0, labels0),
-                jax.random.split(key, maxiter))
+                (jax.random.split(key, maxiter), seeds))
             return GibbsState(components=comp, gating=gating, params=params,
                               log_pi=log_pi, labels=labels)
 
@@ -745,6 +806,32 @@ class BayesianMixture:
 
             self._cache[key] = wrapper
         return self._cache[key]
+
+
+def _resolve_backend(backend, spec, mesh):
+    """True -> route through the Mosaic kernels (ops/pallas_estep.py,
+    ops/pallas_gibbs.py). 'auto' picks them on TPU for single-chip runs of
+    families whose features the kernel can assemble on-core; an explicit
+    'pallas' raises when unsupported rather than silently falling back
+    (off-TPU it still runs, via interpret mode / the XLA fallback)."""
+    kind = getattr(spec, 'feature_kind', None)
+    if backend == 'xla':
+        return False
+    if backend == 'pallas':
+        if kind is None:
+            raise NotImplementedError(
+                'the pallas engine supports families with on-core-'
+                'assemblable features (full/diag/tied/hierarchical GMMs) '
+                "only; use backend='xla'")
+        if mesh is not None:
+            raise NotImplementedError(
+                "backend='pallas' is single-chip; use backend='xla' with "
+                'mesh for the shard_map path')
+        return True
+    if backend == 'auto':
+        return (kind is not None and mesh is None
+                and jax.default_backend() == 'tpu')
+    raise ValueError(f'unknown backend: {backend!r}')
 
 
 def _as_tuple(data):

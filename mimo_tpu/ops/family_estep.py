@@ -48,6 +48,10 @@ class EStepSpec(NamedTuple):
     # plug-in natural params for Gibbs label sweeps:
     # likelihood params -> (K, m) with log p(data|params_k) = t(data)·row_k
     theta_plugin: Any = None
+    # how the Pallas kernels can assemble the feature rows on-core from a
+    # (d, B) data block: 'gauss' = [1; x; x (x) x], 'diag' = [1; x; x^2],
+    # None = not kernel-assemblable (products / linear experts) -> XLA path
+    feature_kind: Any = None
 
 
 class FusedEStep(NamedTuple):
@@ -87,7 +91,7 @@ def gaussian_spec() -> EStepSpec:
         return jnp.concatenate(
             [c[:, None], lmu, -0.5 * lm.reshape(-1, d * d)], axis=-1)
 
-    return EStepSpec(features, theta, _unpack_gauss, theta_plugin)
+    return EStepSpec(features, theta, _unpack_gauss, theta_plugin, 'gauss')
 
 
 def _unpack_gauss(acc):
@@ -126,7 +130,7 @@ def hier_gaussian_spec() -> EStepSpec:
         h2 = jnp.broadcast_to((-0.5 * e_l).reshape(1, d * d), (k, d * d))
         return jnp.concatenate([c[:, None], h1, h2], axis=-1)
 
-    return EStepSpec(g.features, theta, g.unpack, g.theta_plugin)
+    return EStepSpec(g.features, theta, g.unpack, g.theta_plugin, 'gauss')
 
 
 # -- diagonal Gaussian | NG --------------------------------------------------
@@ -162,7 +166,7 @@ def diag_gaussian_spec() -> EStepSpec:
             - 0.5 * d * LOG2PI
         return jnp.concatenate([c[:, None], l * mu, -0.5 * l], axis=-1)
 
-    return EStepSpec(features, theta, unpack, theta_plugin)
+    return EStepSpec(features, theta, unpack, theta_plugin, 'diag')
 
 
 # -- linear expert | MNW -----------------------------------------------------

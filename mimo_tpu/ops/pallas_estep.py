@@ -84,8 +84,17 @@ def _dot_split(theta, f):
                       preferred_element_type=jnp.float32))
 
 
-def _assemble_f(xt, m8):
-    """F = [1; x; x (x) x; 0-padding] as a (m8, B) REGISTER value.
+def feature_rows(d, kind):
+    """Feature-map width m for a (d,)-dim data block under `kind`
+    ('gauss': [1, x, x (x) x]; 'diag': [1, x, x^2])."""
+    return 1 + d + (d * d if kind == 'gauss' else d)
+
+
+def _assemble_f(xt, m8, kind='gauss'):
+    """F = [1; x; quadratic rows; 0-padding] as a (m8, B) REGISTER value.
+
+    kind: 'gauss' -> d x d cross rows x_l x_j (full-covariance families);
+          'diag'  -> d squared rows x_j^2   (diagonal families).
 
     This must stay a jnp.concatenate of register values: the earlier
     kernel staged F through a VMEM scratch ref with per-stripe stores
@@ -95,15 +104,18 @@ def _assemble_f(xt, m8):
     BENCH_NOTES.md)."""
     d, b = xt.shape
     rows = [jnp.ones((1, b), jnp.float32), xt]
-    for j in range(d):
-        rows.append(xt * xt[j:j + 1, :])
-    m = 1 + d + d * d
+    if kind == 'gauss':
+        for j in range(d):
+            rows.append(xt * xt[j:j + 1, :])
+    else:
+        rows.append(xt * xt)
+    m = feature_rows(d, kind)
     if m8 > m:
         rows.append(jnp.zeros((m8 - m, b), jnp.float32))
     return jnp.concatenate(rows, axis=0)
 
 
-def _estep_kernel2(n_valid, d, x_ref, theta_ref, acc_ref, lse_ref):
+def _estep_kernel2(n_valid, d, kind, x_ref, theta_ref, acc_ref, lse_ref):
     """Two-dot E-step body. Per (d, B) block:
         F     = [1; x; x (x) x]  assembled in registers   (m8, B)
         logp  = theta @ F                                 (K, B)  [1 MXU op]
@@ -123,7 +135,7 @@ def _estep_kernel2(n_valid, d, x_ref, theta_ref, acc_ref, lse_ref):
 
     xt = x_ref[:]                                        # (d, B)
     b = xt.shape[1]
-    f = _assemble_f(xt, acc_ref.shape[1])                # (m8, B)
+    f = _assemble_f(xt, acc_ref.shape[1], kind)          # (m8, B)
 
     logp = _dot_split(theta_ref[:], f)                   # (K, B)
     mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
@@ -142,15 +154,15 @@ def _estep_kernel2(n_valid, d, x_ref, theta_ref, acc_ref, lse_ref):
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 
-def _estep_pallas2(xt, theta, block_size, n_valid):
+def _estep_pallas2(xt, theta, block_size, n_valid, kind='gauss'):
     """Launcher: xt (d, N') pre-padded to a block_size multiple;
-    theta (K, m8) with column 0 = c + log_pi and m8 = ceil8(1+d+d^2)."""
+    theta (K, m8) with column 0 = c + log_pi and m8 = ceil8(feature_rows)."""
     d, n = xt.shape
     k, m8 = theta.shape
     assert n % block_size == 0
     grid = n // block_size
     acc, lse = pl.pallas_call(
-        functools.partial(_estep_kernel2, n_valid, d),
+        functools.partial(_estep_kernel2, n_valid, d, kind),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((d, block_size), lambda i: (0, i),
@@ -211,6 +223,33 @@ def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
     stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
                        xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
     return EStepResult(stats=stats, lse=lse[0, 0], counts=counts)
+
+
+def _pad_theta(theta, log_pi):
+    """Fold log_pi into the constant column and zero-pad the feature axis
+    to the kernels' sublane multiple of 8."""
+    k, m = theta.shape
+    m8 = -(-m // 8) * 8
+    theta = theta.at[:, 0].add(log_pi)
+    return jnp.concatenate(
+        [theta, jnp.zeros((k, m8 - m), theta.dtype)],
+        axis=-1).astype(jnp.float32), m
+
+
+def fused_estep_pallas(spec, post, log_pi, xt, block_size, n_valid):
+    """Spec-driven fused E-step on the Mosaic kernel — a drop-in for
+    fused_estep_blockwise for any family whose spec has a `feature_kind`
+    ('gauss': NIW / hierarchical / tied GMMs; 'diag': Normal-Gamma GMMs).
+
+    xt: (d, N') float32, pre-transposed and pre-padded to a block_size
+    multiple (pad ONCE outside the sweep loop); n_valid = the real N, or
+    None when nothing is padded. Returns a FusedEStep in f32."""
+    from mimo_tpu.ops.family_estep import FusedEStep
+    theta, m = _pad_theta(spec.theta(post), log_pi)
+    acc, lse = _estep_pallas2(xt, theta, block_size, n_valid,
+                              spec.feature_kind)
+    return FusedEStep(stats=spec.unpack(acc[:, :m]), lse=lse[0, 0],
+                      counts=acc[:, 0])
 
 
 @functools.partial(jax.jit, static_argnames=('block_size',))

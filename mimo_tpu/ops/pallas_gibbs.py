@@ -26,10 +26,11 @@ from mimo_tpu.distributions.niw import GaussStats
 from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
-from mimo_tpu.ops.pallas_estep import _nt, _assemble_f, _dot_split
+from mimo_tpu.ops.pallas_estep import (
+    _nt, _assemble_f, _dot_split, _pad_theta)
 
 
-def _gibbs_kernel(n_valid, d, seed_ref, x_ref, theta_ref,
+def _gibbs_kernel(n_valid, d, kind, seed_ref, x_ref, theta_ref,
                   lab_ref, acc_ref):
     i = pl.program_id(0)
 
@@ -42,7 +43,7 @@ def _gibbs_kernel(n_valid, d, seed_ref, x_ref, theta_ref,
     xt = x_ref[:]                                    # (d, B)
     b = xt.shape[1]
     k = theta_ref.shape[0]
-    f = _assemble_f(xt, acc_ref.shape[1])            # (m8, B)
+    f = _assemble_f(xt, acc_ref.shape[1], kind)      # (m8, B)
 
     logp = _dot_split(theta_ref[:], f)               # (K, B)
 
@@ -116,13 +117,30 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
 
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    grid = (n + pad) // block_size
     m = 1 + d + d * d
     m8 = -(-m // 8) * 8
     theta = jnp.concatenate(
         [c2, h1, h2f, jnp.zeros((k, m8 - m), jnp.float32)], axis=-1)
-    lab, acc = pl.pallas_call(
-        functools.partial(_gibbs_kernel, mask_n, d),
+    lab, acc = _gibbs_pallas_core(seed, theta, xt, block_size, mask_n,
+                                  'gauss')
+    counts = acc[:, 0]
+    stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
+                       xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
+    return lab[0, :n_real], EStepResult(stats=stats,
+                                        lse=jnp.zeros((), jnp.float32),
+                                        counts=counts)
+
+
+def _gibbs_pallas_core(seed, theta, xt, block_size, n_valid, kind):
+    """pallas_call wrapper: xt (d, N') pre-padded, theta (K, m8) with
+    log_pi folded into column 0. TPU only (callers provide the XLA
+    fallback; pltpu.prng_* has no interpreter lowering)."""
+    d, n = xt.shape
+    k, m8 = theta.shape
+    assert n % block_size == 0
+    grid = n // block_size
+    return pl.pallas_call(
+        functools.partial(_gibbs_kernel, n_valid, d, kind),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -138,21 +156,48 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((k, m8), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        # no interpret path: off-TPU the XLA fallback above returns first
-        # (pltpu.prng_* has no interpreter lowering)
     )(jnp.asarray([seed], jnp.int32), xt, theta)
 
-    counts = acc[:, 0]
-    stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
-                       xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
-    return lab[0, :n_real], EStepResult(stats=stats,
-                                        lse=jnp.zeros((), jnp.float32),
-                                        counts=counts)
+
+def fused_gibbs_pallas(spec, seed, params, log_pi, xt, block_size, n_valid):
+    """Spec-driven fused Gibbs label sweep on the Mosaic kernel — a
+    drop-in for family_estep.fused_gibbs_blockwise for any family whose
+    spec has a `feature_kind` ('gauss' / 'diag').
+
+    xt: (d, N') float32, pre-transposed and pre-padded to a block_size
+    multiple; n_valid = the real N (None when nothing is padded); `seed`
+    an int32 scalar (fold the sweep index in upstream). Labels are drawn
+    from the on-core PRNG via Gumbel-max. Returns
+    (labels (n_valid,) int32, FusedEStep with one-hot stats, lse = 0)."""
+    from mimo_tpu.ops.family_estep import FusedEStep
+    theta, m = _pad_theta(spec.theta_plugin(params), log_pi)
+    n_real = xt.shape[1] if n_valid is None else n_valid
+
+    if jax.default_backend() != 'tpu':
+        # XLA fallback (CPU tests / multichip dryruns): same semantics
+        x = xt[:, :n_real].T
+        feats = spec.features((x,)).astype(jnp.float32)
+        logp = feats @ theta[:, :m].T          # log_pi already in col 0
+        key = jax.random.PRNGKey(seed)
+        labels = jax.random.categorical(key, logp, axis=-1).astype(jnp.int32)
+        oh = jax.nn.one_hot(labels, theta.shape[0], dtype=jnp.float32)
+        acc = oh.T @ feats
+        return labels, FusedEStep(stats=spec.unpack(acc),
+                                  lse=jnp.zeros((), jnp.float32),
+                                  counts=acc[:, 0])
+
+    mask_n = None if n_valid is None else \
+        (None if n_valid == xt.shape[1] else n_valid)
+    lab, acc = _gibbs_pallas_core(seed, theta, xt, block_size, mask_n,
+                                  spec.feature_kind)
+    return lab[0, :n_real], FusedEStep(stats=spec.unpack(acc[:, :m]),
+                                       lse=jnp.zeros((), jnp.float32),
+                                       counts=acc[:, 0])
 
 
 def gauss_plugin_nat(params, log_pi):
