@@ -1,13 +1,22 @@
-"""Benchmark: DP-GMM mean-field VI sweep throughput on the north-star
-workload (N=1e7 points, K=50 components, d=2; BASELINE.md).
+"""Benchmark suite for the TPU-native engines.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Headline (the ONE JSON line, stdout): DP-GMM mean-field VI sweep
+throughput on the north-star workload (N=1e7 points, K=50 components,
+d=2; BASELINE.md), fused Pallas backend (the production default on TPU).
+
+Detail rows (stderr), recorded in BENCH_NOTES.md:
+  - N=1e7 d=2 K=50: VI + Gibbs for both backends, posterior predictive
+  - N=1e6 continuity row vs the frozen NumPy reference
+  - MXU-fed shapes: d=8 K=128 (N=1e7) and d=32 K=256 (N=1e6) with
+    nominal FLOP/s and %-of-roofline (measured machine peak: 17.5 TFLOP/s
+    for a fed f32 DEFAULT matmul, scripts/roofline.py)
+  - ILR (mixture of linear experts) q=8: the generic fused XLA engine
+  - chain parallelism: 16 vmapped restarts vs 1 (evaluate_sinc_parallel's
+    24-process joblib pool, on-device)
 
 `vs_baseline` compares against the reference (hanyas/mimo, NumPy) running
 the same model/update on CPU, measured by scripts/measure_reference.py on
-this machine (frozen below with provenance). Also prints per-engine detail
-lines (Gibbs, serving, and the N=1e6 point for continuity) to stderr.
+this machine (frozen below with provenance).
 """
 
 import json
@@ -39,68 +48,144 @@ from mimo_tpu.distributions.niw import GaussParams
 # gaussian.py:474-485, plus the K x N x d x d einsums going out of cache.)
 REFERENCE_VI_ITERS_PER_S_1E7 = 0.00039
 
+# roofline reference: TPU v5e single-chip bf16 MXU peak (the kernels'
+# dots are single-pass bf16 with f32 accumulation). The nominal FLOP
+# count below (4 N m K) excludes the theta hi/lo split's extra pass, so
+# %-of-roofline understates true MXU occupancy by ~1.5x.
+PEAK_TFLOPS = 197.0
+
 N, K, D = 10_000_000, 50, 2
 ITERS = 100
 
 
-def bench_engines(model, x, iters, reps=3):
-    """(vi_iters/s, gibbs_sweeps/s, final ELBO) on `x`, best of `reps`."""
-    state, vlb = model.fit_vi_fused(x, key=1, maxiter=iters)  # compile
-    jax.block_until_ready(vlb)
-    assert bool(jnp.isfinite(vlb[-1])), 'non-finite ELBO'
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    vi_rate = 0.0
-    for _ in range(reps):                 # best-of: tunnel/runtime jitter
-        t0 = time.time()
-        state, vlb = model.fit_vi_fused(x, key=1, maxiter=iters)
-        jax.block_until_ready(vlb)
-        vi_rate = max(vi_rate, iters / (time.time() - t0))
 
-    gs = model.fit_gibbs_fused(x, key=2, maxiter=iters)       # compile
-    jax.block_until_ready(gs.labels)
-    gibbs_rate = 0.0
+def best_of(fn, reps=3):
+    """Wall time of fn's best rep (first call compiles)."""
+    out = fn()
+    jax.block_until_ready(out)
+    best = float('inf')
     for _ in range(reps):
         t0 = time.time()
-        gs = model.fit_gibbs_fused(x, key=2, maxiter=iters)
-        jax.block_until_ready(gs.labels)
-        gibbs_rate = max(gibbs_rate, iters / (time.time() - t0))
-    return vi_rate, gibbs_rate, state, vlb
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def gauss_flops(n, d, k, iters=1):
+    """Nominal FLOPs of one fused VI iteration: two (N, m) x (m, K) dots,
+    m = 1 + d + d^2 (un-padded; the MXU pads both small dims)."""
+    m = 1 + d + d * d
+    return 4.0 * n * m * k * iters
+
+
+def bench_gmm(n, k, d, iters, key=0, backends=('auto',), gibbs=True,
+              reps=3):
+    kg = jax.random.PRNGKey(key)
+    mu = jax.random.normal(jax.random.fold_in(kg, 1), (3, d)) * 4.0
+    lm = jnp.broadcast_to(jnp.eye(d) * 2.0, (3, d, d))
+    x, _ = BayesianGMM.generate(kg, GaussParams(mu, lm),
+                                jnp.array([.3, .4, .3]), n)
+    model = BayesianGMM.make(size=k, dim=d, gating='dp', alpha=1.0,
+                             kappa=0.05, psi_scale=0.5)
+    out = {}
+    for backend in backends:
+        dt, (st, vlb) = best_of(
+            lambda b=backend: model.fit_vi_fused(x, key=1, maxiter=iters,
+                                                 backend=b), reps)
+        assert bool(jnp.isfinite(vlb[-1])), f'non-finite ELBO ({backend})'
+        out[f'vi_{backend}'] = iters / dt
+        if gibbs:
+            dt, gs = best_of(
+                lambda b=backend: model.fit_gibbs_fused(
+                    x, key=2, maxiter=iters, backend=b), reps)
+            out[f'gibbs_{backend}'] = iters / dt
+    out['state'] = st
+    out['model'] = model
+    out['x'] = x
+    out['elbo'] = float(vlb[-1])
+    return out
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    mu = jnp.array([[-3., 0.], [3., 0.], [0., 4.]])
-    lm = jnp.broadcast_to(jnp.eye(2) * 2.0, (3, 2, 2))
-    x, _ = BayesianGMM.generate(key, GaussParams(mu, lm),
-                                jnp.array([.3, .4, .3]), N)
-    model = BayesianGMM.make(size=K, dim=D, gating='dp', alpha=1.0,
-                             kappa=0.05, psi_scale=0.5)
-
-    # the fused blockwise engines are the fast path — responsibilities
-    # never materialize in HBM (ops/estep.py)
-    vi_rate, gibbs_rate, state, vlb = bench_engines(model, x, ITERS)
+    # ---- north star: N=1e7, K=50, d=2 ------------------------------------
+    r = bench_gmm(N, K, D, ITERS, backends=('auto', 'xla'))
+    vi_rate = r['vi_auto']
 
     # serving: posterior-predictive density over all N points
+    model, st, x = r['model'], r['state'], r['x']
     pred = jax.jit(model.log_predictive)
-    lp = pred(state, (x,))
-    jax.block_until_ready(lp)
-    t0 = time.time()
-    for _ in range(10):
-        lp = pred(state, (x,))
-    jax.block_until_ready(lp)
-    serve_rate = 10 * N / (time.time() - t0)
 
-    print(f'# VI {vi_rate:.1f} iters/s | Gibbs {gibbs_rate:.1f} sweeps/s | '
-          f'predictive {serve_rate/1e6:.1f}M pts/s '
-          f'(N={N}, K={K}, d={D}) | final ELBO {float(vlb[-1]):.4g}',
-          file=sys.stderr)
+    def pred10():
+        for _ in range(10):
+            lp = pred(st, (x,))
+        return lp
+    dt, _ = best_of(pred10, reps=3)
+    serve_rate = 10 * N / dt
 
-    # continuity with the earlier N=1e6 headline (reference: 0.011 VI
-    # iters/s, 0.022 Gibbs sweeps/s at that scale)
-    vi6, gibbs6, _, _ = bench_engines(model, x[:1_000_000], ITERS, reps=2)
-    print(f'# N=1e6 detail: VI {vi6:.1f} iters/s ({vi6 / 0.011:,.0f}x ref) '
-          f'| Gibbs {gibbs6:.1f} sweeps/s ({gibbs6 / 0.022:,.0f}x ref)',
-          file=sys.stderr)
+    fl = gauss_flops(N, D, K)
+    log(f'# [1e7/K50/d2] VI pallas {vi_rate:.1f} it/s ({fl*vi_rate/1e12:.2f} '
+        f'TFLOP/s, {fl*vi_rate/1e10/PEAK_TFLOPS:.1f}% roofline) | '
+        f"VI xla {r['vi_xla']:.1f} | Gibbs pallas {r['gibbs_auto']:.1f} "
+        f"sw/s | Gibbs xla {r['gibbs_xla']:.1f} | predictive "
+        f"{serve_rate/1e6:.1f}M pts/s | ELBO {r['elbo']:.4g}")
+
+    # ---- continuity: N=1e6 vs reference ----------------------------------
+    r6 = bench_gmm(1_000_000, K, D, ITERS, reps=2)
+    log(f"# [1e6/K50/d2] VI {r6['vi_auto']:.1f} it/s "
+        f"({r6['vi_auto'] / 0.011:,.0f}x ref) | Gibbs {r6['gibbs_auto']:.1f} "
+        f"sw/s ({r6['gibbs_auto'] / 0.022:,.0f}x ref)")
+
+    # ---- MXU-fed shapes ---------------------------------------------------
+    r8 = bench_gmm(N, 128, 8, 50, backends=('auto', 'xla'), reps=2)
+    fl = gauss_flops(N, 8, 128)
+    log(f"# [1e7/K128/d8] VI pallas {r8['vi_auto']:.1f} it/s "
+        f"({fl*r8['vi_auto']/1e12:.2f} TFLOP/s, "
+        f"{fl*r8['vi_auto']/1e10/PEAK_TFLOPS:.1f}% roofline) | "
+        f"VI xla {r8['vi_xla']:.1f} | Gibbs pallas {r8['gibbs_auto']:.1f} "
+        f"sw/s | Gibbs xla {r8['gibbs_xla']:.1f}")
+
+    r32 = bench_gmm(1_000_000, 256, 32, 20, backends=('auto', 'xla'),
+                    gibbs=False, reps=2)
+    fl = gauss_flops(1_000_000, 32, 256)
+    log(f"# [1e6/K256/d32] VI pallas {r32['vi_auto']:.1f} it/s "
+        f"({fl*r32['vi_auto']/1e12:.2f} TFLOP/s, "
+        f"{fl*r32['vi_auto']/1e10/PEAK_TFLOPS:.1f}% roofline) | "
+        f"VI xla {r32['vi_xla']:.1f}")
+
+    # ---- ILR q=8 (generic fused XLA engine) ------------------------------
+    from mimo_tpu.models.ilr import BayesianILR
+    kg = jax.random.PRNGKey(3)
+    xs = jax.random.uniform(kg, (1_000_000, 8), minval=-3, maxval=3)
+    w = jax.random.normal(jax.random.fold_in(kg, 1), (8, 1))
+    ys = jnp.sin(xs @ w) + 0.1 * jax.random.normal(
+        jax.random.fold_in(kg, 2), (1_000_000, 1))
+    ilr = BayesianILR.make(size=50, input_dim=8, output_dim=1, alpha=2.0,
+                           kappa=0.05)
+    dt, (st_i, vlb_i) = best_of(
+        lambda: ilr.fit_vi_fused((xs, ys), key=1, maxiter=50), reps=2)
+    assert bool(jnp.isfinite(vlb_i[-1]))
+    log(f'# [ILR 1e6/K50/q8] VI {50 / dt:.1f} it/s | ELBO '
+        f'{float(vlb_i[-1]):.4g}')
+
+    # ---- chain parallelism (vmapped restarts; the reference's 24-process
+    # joblib pool at its own scale, evaluate_sinc_parallel.py) ------------
+    from mimo_tpu.parallel.chains import fit_chains
+    x5 = r6['x'][:100_000]
+    m5 = BayesianGMM.make(size=16, dim=D, gating='dp', alpha=1.0,
+                          kappa=0.05, psi_scale=0.5)
+    dt1, _ = best_of(lambda: m5.fit_vi_fused(
+        x5, key=1, maxiter=50, backend='xla'), reps=2)
+    chain_keys = jax.random.split(jax.random.PRNGKey(1), 16)
+    dt16, _ = best_of(lambda: fit_chains(
+        m5, 'fit_vi_fused', x5, chain_keys, maxiter=50, backend='xla'),
+        reps=2)
+    log(f'# [chains 1e5/K16] 1 restart {dt1*1e3:.0f}ms, 16 vmapped '
+        f'restarts {dt16*1e3:.0f}ms -> {16 * dt1 / dt16:.1f}x aggregate '
+        f'speedup vs serial restarts')
 
     print(json.dumps({
         'metric': 'dpgmm_vi_iters_per_s_n1e7_k50',

@@ -198,9 +198,12 @@ class BayesianMixture:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import (
-                fused_estep_pallas, pick_pallas_block)
+                feature_rows, fused_estep_pallas, pick_pallas_block)
             if block_size is None:
-                block_size = pick_pallas_block(n)  # any N: pad + mask
+                m8 = -(-feature_rows(data[0].shape[-1],
+                                     spec.feature_kind) // 8) * 8
+                block_size = pick_pallas_block(     # any N: pad + mask
+                    n, rows=m8 + 4 * self.size)
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -289,10 +292,14 @@ class BayesianMixture:
         n = data[0].shape[0]
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
-            from mimo_tpu.ops.pallas_estep import pick_pallas_block
+            from mimo_tpu.ops.pallas_estep import (
+                feature_rows, pick_pallas_block)
             from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
             if block_size is None:
-                block_size = pick_pallas_block(n)  # any N: pad + mask
+                m8 = -(-feature_rows(data[0].shape[-1],
+                                     spec.feature_kind) // 8) * 8
+                block_size = pick_pallas_block(     # any N: pad + mask
+                    n, rows=m8 + 4 * self.size)
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
