@@ -158,6 +158,12 @@ class BayesianMixture:
         hierarchical inner loops). Overridden by concrete models."""
         return None
 
+    def _kernel_rows(self, spec):
+        """Live VMEM row estimate for the Mosaic kernels' block-size cap:
+        F is (m8, B), logp/exp/Gumbel/one-hot are (K, B)."""
+        m = jax.eval_shape(spec.theta, self.components_prior).shape[-1]
+        return -(-m // 8) * 8 + 4 * self.size
+
     def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
                      block_size=None, init_state=None, randomize=True,
                      mesh=None, backend='auto'):
@@ -198,12 +204,10 @@ class BayesianMixture:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import (
-                feature_rows, fused_estep_pallas, pick_pallas_block)
+                fused_estep_pallas, pick_pallas_block)
             if block_size is None:
-                m8 = -(-feature_rows(data[0].shape[-1],
-                                     spec.feature_kind) // 8) * 8
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=m8 + 4 * self.size)
+                    n, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -231,14 +235,15 @@ class BayesianMixture:
                 state = init_state
             if use_pallas:
                 # pad + transpose ONCE, outside the sweep loop
-                xt = jnp.pad(data[0].astype(jnp.float32).T,
-                             ((0, 0), (0, (-n) % block_size)))
+                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
+                                    ((0, 0), (0, (-n) % block_size)))
+                            for a in data)
 
             def step(state, _):
                 log_pi = state.gating.expected_log_pi()
                 if use_pallas:
                     res = fused_estep_pallas(spec, state.components, log_pi,
-                                             xt, block_size, n)
+                                             xts, block_size, n)
                     res = jax.tree.map(lambda a: a.astype(dtype), res)
                 elif mesh is None:
                     res = fused_estep_blockwise(spec, state.components,
@@ -292,14 +297,11 @@ class BayesianMixture:
         n = data[0].shape[0]
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
-            from mimo_tpu.ops.pallas_estep import (
-                feature_rows, pick_pallas_block)
+            from mimo_tpu.ops.pallas_estep import pick_pallas_block
             from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
             if block_size is None:
-                m8 = -(-feature_rows(data[0].shape[-1],
-                                     spec.feature_kind) // 8) * 8
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=m8 + 4 * self.size)
+                    n, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -327,8 +329,9 @@ class BayesianMixture:
             if use_pallas:
                 # pad + transpose ONCE, outside the sweep loop; per-sweep
                 # int32 seeds feed the kernel's on-core PRNG
-                xt = jnp.pad(data[0].astype(jnp.float32).T,
-                             ((0, 0), (0, (-n) % block_size)))
+                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
+                                    ((0, 0), (0, (-n) % block_size)))
+                            for a in data)
                 seeds = jax.random.randint(
                     jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
                     dtype=jnp.int32)
@@ -353,7 +356,7 @@ class BayesianMixture:
                 log_pi = jnp.log(jnp.clip(probs, 1e-37, None)).astype(dtype)
                 if use_pallas:
                     labels, res = fused_gibbs_pallas(
-                        spec, seed, params, log_pi, xt, block_size, n)
+                        spec, seed, params, log_pi, xts, block_size, n)
                     res = jax.tree.map(lambda a: a.astype(dtype)
                                        if a.dtype != jnp.int32 else a, res)
                 elif mesh is None:
@@ -821,7 +824,7 @@ def _resolve_backend(backend, spec, mesh):
     families whose features the kernel can assemble on-core; an explicit
     'pallas' raises when unsupported rather than silently falling back
     (off-TPU it still runs, via interpret mode / the XLA fallback)."""
-    kind = getattr(spec, 'feature_kind', None)
+    kind = getattr(spec, 'features_t', None)
     if backend == 'xla':
         return False
     if backend == 'pallas':

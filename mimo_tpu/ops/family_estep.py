@@ -48,10 +48,12 @@ class EStepSpec(NamedTuple):
     # plug-in natural params for Gibbs label sweeps:
     # likelihood params -> (K, m) with log p(data|params_k) = t(data)·row_k
     theta_plugin: Any = None
-    # how the Pallas kernels can assemble the feature rows on-core from a
-    # (d, B) data block: 'gauss' = [1; x; x (x) x], 'diag' = [1; x; x^2],
-    # None = not kernel-assemblable (products / linear experts) -> XLA path
-    feature_kind: Any = None
+    # transposed feature assembler for the Pallas kernels: a pure jnp
+    # function mapping a tuple of (d_i, B) data blocks to the (m, B)
+    # feature matrix F with F[j, n] == features(data)[n, j] — traced
+    # INSIDE the Mosaic kernel, so F lives in registers and the N x m
+    # feature tensor never exists in HBM. None = kernel path unavailable.
+    features_t: Any = None
 
 
 class FusedEStep(NamedTuple):
@@ -63,6 +65,53 @@ class FusedEStep(NamedTuple):
 def _outer(a, b):
     n = a.shape[0]
     return (a[:, :, None] * b[:, None, :]).reshape(n, -1)
+
+
+# -- transposed (kernel-side) feature assemblers ------------------------------
+# Row ordering MUST mirror the spec's `features` exactly. The assemblers
+# build F as a jnp.concatenate of REGISTER values — staging stripes
+# through VMEM scratch stores serialized the kernel 27x (BENCH_NOTES.md).
+
+def _rows_outer(at, bt):
+    """Transposed _outer: rows i*db+j = a_i b_j from (da, B), (db, B)."""
+    return [at[i:i + 1] * bt for i in range(at.shape[0])]
+
+
+def gauss_features_t(ts):
+    (xt,) = ts
+    one = jnp.ones((1, xt.shape[1]), xt.dtype)
+    return jnp.concatenate([one, xt] + _rows_outer(xt, xt), axis=0)
+
+
+def diag_gauss_features_t(ts):
+    (xt,) = ts
+    one = jnp.ones((1, xt.shape[1]), xt.dtype)
+    return jnp.concatenate([one, xt, xt * xt], axis=0)
+
+
+def linear_features_t(affine):
+    def assemble(ts):
+        xt, yt = ts
+        one = jnp.ones((1, xt.shape[1]), xt.dtype)
+        xta = jnp.concatenate([xt, one], axis=0) if affine else xt
+        return jnp.concatenate(
+            [one] + _rows_outer(yt, xta) + _rows_outer(xta, xta)
+            + _rows_outer(yt, yt), axis=0)
+    return assemble
+
+
+def _product_features_t(specs, data_slices):
+    members = [s.features_t for s in specs]
+    if any(m is None for m in members):
+        return None
+
+    def assemble(ts):
+        blocks = [m(tuple(ts[i] for i in sl))
+                  for m, sl in zip(members, data_slices)]
+        # drop duplicate constant rows beyond the first (as in features)
+        blocks = [blocks[0]] + [b[1:] for b in blocks[1:]]
+        return jnp.concatenate(blocks, axis=0)
+    return assemble
 
 
 # -- Gaussian | NIW ----------------------------------------------------------
@@ -91,7 +140,8 @@ def gaussian_spec() -> EStepSpec:
         return jnp.concatenate(
             [c[:, None], lmu, -0.5 * lm.reshape(-1, d * d)], axis=-1)
 
-    return EStepSpec(features, theta, _unpack_gauss, theta_plugin, 'gauss')
+    return EStepSpec(features, theta, _unpack_gauss, theta_plugin,
+                     gauss_features_t)
 
 
 def _unpack_gauss(acc):
@@ -130,7 +180,8 @@ def hier_gaussian_spec() -> EStepSpec:
         h2 = jnp.broadcast_to((-0.5 * e_l).reshape(1, d * d), (k, d * d))
         return jnp.concatenate([c[:, None], h1, h2], axis=-1)
 
-    return EStepSpec(g.features, theta, g.unpack, g.theta_plugin, 'gauss')
+    return EStepSpec(g.features, theta, g.unpack, g.theta_plugin,
+                     gauss_features_t)
 
 
 # -- diagonal Gaussian | NG --------------------------------------------------
@@ -166,7 +217,8 @@ def diag_gaussian_spec() -> EStepSpec:
             - 0.5 * d * LOG2PI
         return jnp.concatenate([c[:, None], l * mu, -0.5 * l], axis=-1)
 
-    return EStepSpec(features, theta, unpack, theta_plugin, 'diag')
+    return EStepSpec(features, theta, unpack, theta_plugin,
+                     diag_gauss_features_t)
 
 
 # -- linear expert | MNW -----------------------------------------------------
@@ -215,7 +267,8 @@ def linear_spec(affine: bool = True, p_dim: int = None,
              -0.5 * ala.reshape(-1, qd * qd),
              -0.5 * lm.reshape(-1, pd * pd)], axis=-1)
 
-    return EStepSpec(features, theta, unpack, theta_plugin)
+    return EStepSpec(features, theta, unpack, theta_plugin,
+                     linear_features_t(affine))
 
 
 def diag_linear_spec(affine: bool = True, p_dim: int = None,
@@ -254,7 +307,8 @@ def diag_linear_spec(affine: bool = True, p_dim: int = None,
              -0.5 * ala.reshape(-1, qd * qd),
              -0.5 * l_mat.reshape(-1, pd * pd)], axis=-1)
 
-    return EStepSpec(base.features, theta, base.unpack, theta_plugin)
+    return EStepSpec(base.features, theta, base.unpack, theta_plugin,
+                     base.features_t)
 
 
 # -- products (ILR: basis(x) x expert(y|x)) ----------------------------------
@@ -299,7 +353,8 @@ def product_spec(specs, data_slices, widths) -> EStepSpec:
         blocks += [th[:, 1:] for th in thetas[1:]]
         return jnp.concatenate(blocks, axis=-1)
 
-    return EStepSpec(features, theta, unpack, theta_plugin)
+    return EStepSpec(features, theta, unpack, theta_plugin,
+                     _product_features_t(specs, data_slices))
 
 
 def gauss_width(d):
@@ -335,7 +390,8 @@ def tied_affine_spec(input_dim, output_dim) -> EStepSpec:
             yxT=lg.yxT[..., :, :q], xxT=lg.xxT[..., :q, :q],
             yyT=lg.yyT, n=lg.n)
 
-    return EStepSpec(base.features, theta, unpack, base.theta_plugin)
+    return EStepSpec(base.features, theta, unpack, base.theta_plugin,
+                     base.features_t)
 
 
 def ilr_spec(input_dim, output_dim, affine=True, diag_basis=False,

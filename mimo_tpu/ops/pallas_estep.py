@@ -1,29 +1,34 @@
-"""Pallas TPU kernel: fused GMM E-step.
+"""Pallas TPU kernel: fused mixture E-step for any feature-linear family.
 
 One pass over HBM-resident data computes, per block of B points:
-    logp = h1 @ x^T + h2 @ (x (x) x)^T + c          (K, B)  [MXU]
-    lse  = logsumexp(logp, axis=0)                   (B,)
-    resp = exp(logp - lse)                           (K, B)
-and accumulates s1 (K,d), sxx (K,d^2), counts (K,) and sum(lse) into
-VMEM-resident accumulators revisited by every grid step (TPU grids are
-sequential, so cross-step read-modify-write is safe).
+    F    = features_t(blocks)       (m8, B)  assembled in REGISTERS
+    logp = theta @ F                (K, B)   [MXU, theta hi/lo split]
+    lse  = logsumexp(logp, axis=0)  (B,)
+    acc += exp(logp-lse) @ F^T      (K, m8)  [MXU]
+with acc / sum(lse) living in VMEM accumulators revisited by every grid
+step (TPU grids are sequential, so cross-step read-modify-write is safe).
+`features_t` comes from the family's EStepSpec (ops/family_estep.py), so
+the same kernel serves full / diagonal / tied / hierarchical GMMs AND
+mixtures of linear experts — any family whose expected log-likelihood is
+linear in an on-core-assemblable feature map of the data.
 
 The N x K responsibility matrix never exists in HBM — the fix for the
 reference's 4 GB K x N matrix at N=1e7 (SURVEY.md §5) and its `fold=False`
 N x d x d expected-stats tensor (gaussian.py:474-485).
 
 Layout notes (measured on TPU):
-  * data is fed TRANSPOSED, (d, B) blocks: with d << 128 the natural (B, d)
-    layout pads the lane dimension 128/d-fold (a (32768, 2) f32 block would
-    occupy 16 MB of VMEM instead of 256 KB);
+  * data arrays are fed TRANSPOSED, (d_i, B) blocks: with d << 128 the
+    natural (B, d) layout pads the lane dimension 128/d-fold (a
+    (32768, 2) f32 block would occupy 16 MB of VMEM instead of 256 KB);
   * everything stays in (K, B) orientation — K on sublanes, points on
-    lanes. logp = h @ xt is the native matmul form (contraction over d),
-    and the stat reductions resp @ stripe^T contract over the lane axis of
-    both operands (the "NT" form Mosaic lowers without transposes). The
-    previous (B, K) orientation forced a B-lanes->sublanes rotation per
+    lanes. logp = theta @ F is the native matmul form, and the stat
+    reduction ex @ F^T contracts over the lane axis of both operands
+    (the "NT" form Mosaic lowers without transposes). The previous
+    (B, K) orientation forced a B-lanes->sublanes rotation per
     dot_general and padded K 50->128 on every VPU op — 2.8x slower;
-  * the quadratic features are processed as d unrolled column stripes
-    (Mosaic cannot reshape (B, d, d) -> (B, d^2));
+  * F must be assembled as a jnp.concatenate of register values; staging
+    row stripes through a VMEM scratch ref serialized the kernel 27x
+    (scripts/bisect_pallas.py, BENCH_NOTES.md);
   * softmax reduction runs over the sublane (K) axis; with K <= 128 the
     padding waste is K -> ceil8(K), not K -> 128.
 
@@ -84,48 +89,22 @@ def _dot_split(theta, f):
                       preferred_element_type=jnp.float32))
 
 
-def feature_rows(d, kind):
-    """Feature-map width m for a (d,)-dim data block under `kind`
-    ('gauss': [1, x, x (x) x]; 'diag': [1, x, x^2])."""
-    return 1 + d + (d * d if kind == 'gauss' else d)
-
-
-def _assemble_f(xt, m8, kind='gauss'):
-    """F = [1; x; quadratic rows; 0-padding] as a (m8, B) REGISTER value.
-
-    kind: 'gauss' -> d x d cross rows x_l x_j (full-covariance families);
-          'diag'  -> d squared rows x_j^2   (diagonal families).
-
-    This must stay a jnp.concatenate of register values: the earlier
-    kernel staged F through a VMEM scratch ref with per-stripe stores
-    (f_ref[1+d+j*d:...] = ...) and those sub-sublane-tile strided stores
-    serialized the whole block — 9.6 ms/iter vs 0.36 ms/iter for the
-    identical math at the bench shape (scripts/bisect_pallas.py,
-    BENCH_NOTES.md)."""
-    d, b = xt.shape
-    rows = [jnp.ones((1, b), jnp.float32), xt]
-    if kind == 'gauss':
-        for j in range(d):
-            rows.append(xt * xt[j:j + 1, :])
-    else:
-        rows.append(xt * xt)
-    m = feature_rows(d, kind)
+def _assemble(features_t, xts, m8):
+    """Run the spec's transposed feature assembler on the (d_i, B) blocks
+    and zero-pad the rows to m8 (the accumulator's sublane multiple)."""
+    f = features_t(xts)
+    m, b = f.shape
     if m8 > m:
-        rows.append(jnp.zeros((m8 - m, b), jnp.float32))
-    return jnp.concatenate(rows, axis=0)
+        f = jnp.concatenate(
+            [f, jnp.zeros((m8 - m, b), jnp.float32)], axis=0)
+    return f
 
 
-def _estep_kernel2(n_valid, d, kind, x_ref, theta_ref, acc_ref, lse_ref):
-    """Two-dot E-step body. Per (d, B) block:
-        F     = [1; x; x (x) x]  assembled in registers   (m8, B)
-        logp  = theta @ F                                 (K, B)  [1 MXU op]
-        resp-free softmax: ex, inv-denom on the (1, B) row
-        acc  += ex @ (F * inv_denom)^T                    (K, m8) [1 MXU op]
-    The v1 kernel issued d+1 separate tiny-contraction dots for logp and
-    d+1 more for the stats — 6 MXU streams per block at d=2 where 2
-    suffice; staging F via a VMEM scratch cost another 27x (see
-    BENCH_NOTES.md). theta carries c + log_pi in column 0 against F's
-    constant row, so counts fall out of acc[:, 0]."""
+def _estep_kernel2(n_valid, nx, features_t, *refs):
+    """Two-dot E-step body; refs = (*x_refs, theta_ref, acc_ref, lse_ref).
+    theta carries c + log_pi in column 0 against F's constant row, so
+    counts fall out of acc[:, 0]."""
+    x_refs, (theta_ref, acc_ref, lse_ref) = refs[:nx], refs[nx:]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -133,9 +112,9 @@ def _estep_kernel2(n_valid, d, kind, x_ref, theta_ref, acc_ref, lse_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
         lse_ref[:] = jnp.zeros_like(lse_ref)
 
-    xt = x_ref[:]                                        # (d, B)
-    b = xt.shape[1]
-    f = _assemble_f(xt, acc_ref.shape[1], kind)          # (m8, B)
+    xts = tuple(r[:] for r in x_refs)                    # (d_i, B) each
+    b = xts[0].shape[1]
+    f = _assemble(features_t, xts, acc_ref.shape[1])     # (m8, B)
 
     logp = _dot_split(theta_ref[:], f)                   # (K, B)
     mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
@@ -154,19 +133,22 @@ def _estep_kernel2(n_valid, d, kind, x_ref, theta_ref, acc_ref, lse_ref):
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 
-def _estep_pallas2(xt, theta, block_size, n_valid, kind='gauss'):
-    """Launcher: xt (d, N') pre-padded to a block_size multiple;
-    theta (K, m8) with column 0 = c + log_pi and m8 = ceil8(feature_rows)."""
-    d, n = xt.shape
+def _x_specs(xts, block_size):
+    return [pl.BlockSpec((xt.shape[0], block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for xt in xts]
+
+
+def _estep_pallas2(xts, theta, block_size, n_valid, features_t):
+    """Launcher: xts = tuple of (d_i, N') arrays pre-padded to a common
+    block_size multiple; theta (K, m8) with column 0 = c + log_pi."""
+    n = xts[0].shape[1]
     k, m8 = theta.shape
     assert n % block_size == 0
     grid = n // block_size
     acc, lse = pl.pallas_call(
-        functools.partial(_estep_kernel2, n_valid, d, kind),
+        functools.partial(_estep_kernel2, n_valid, len(xts), features_t),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((d, block_size), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=_x_specs(xts, block_size) + [
             pl.BlockSpec((k, m8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -182,7 +164,7 @@ def _estep_pallas2(xt, theta, block_size, n_valid, kind='gauss'):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != 'tpu',
-    )(xt, theta)
+    )(*xts, theta)
     return acc, lse
 
 
@@ -205,12 +187,13 @@ def pick_pallas_block(n, target=65536, rows=None, budget=64 * 1024 * 1024):
 
 def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
                   n_valid=None):
-    """Fused E-step on pre-transposed float32 data xt (d, N).
+    """Fused Gaussian E-step on pre-transposed float32 data xt (d, N).
 
     Any N works. Callers running this inside a sweep loop should pad xt
     to a block_size multiple ONCE outside the loop (jnp.pad) and pass
     `n_valid` = the real N, so the pad copy isn't re-done per sweep;
     with n_valid=None the padding happens here."""
+    from mimo_tpu.ops.family_estep import gauss_features_t
     d, n = xt.shape
     k = post.mu.shape[0]
     if n_valid is None:
@@ -226,7 +209,8 @@ def estep_from_xt(post: NIW, log_pi, xt, block_size: int = 32768,
     theta = jnp.concatenate(
         [c[:, None], h1, h2.reshape(k, d * d),
          jnp.zeros((k, m8 - m), c.dtype)], axis=-1).astype(jnp.float32)
-    acc, lse = _estep_pallas2(xt, theta, block_size, n_valid)
+    acc, lse = _estep_pallas2((xt,), theta, block_size, n_valid,
+                              gauss_features_t)
     counts = acc[:, 0]
     stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
                        xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
@@ -244,18 +228,19 @@ def _pad_theta(theta, log_pi):
         axis=-1).astype(jnp.float32), m
 
 
-def fused_estep_pallas(spec, post, log_pi, xt, block_size, n_valid):
+def fused_estep_pallas(spec, post, log_pi, xts, block_size, n_valid):
     """Spec-driven fused E-step on the Mosaic kernel — a drop-in for
-    fused_estep_blockwise for any family whose spec has a `feature_kind`
-    ('gauss': NIW / hierarchical / tied GMMs; 'diag': Normal-Gamma GMMs).
+    fused_estep_blockwise for any family whose spec has a `features_t`
+    assembler (GMM families and mixtures of linear experts).
 
-    xt: (d, N') float32, pre-transposed and pre-padded to a block_size
-    multiple (pad ONCE outside the sweep loop); n_valid = the real N, or
-    None when nothing is padded. Returns a FusedEStep in f32."""
+    xts: tuple of (d_i, N') float32 arrays, pre-transposed and pre-padded
+    to a common block_size multiple (pad ONCE outside the sweep loop);
+    n_valid = the real N, or None when nothing is padded. Returns a
+    FusedEStep in f32."""
     from mimo_tpu.ops.family_estep import FusedEStep
     theta, m = _pad_theta(spec.theta(post), log_pi)
-    acc, lse = _estep_pallas2(xt, theta, block_size, n_valid,
-                              spec.feature_kind)
+    acc, lse = _estep_pallas2(xts, theta, block_size, n_valid,
+                              spec.features_t)
     return FusedEStep(stats=spec.unpack(acc[:, :m]), lse=lse[0, 0],
                       counts=acc[:, 0])
 

@@ -1,18 +1,20 @@
-"""Pallas TPU kernel: fused blocked-Gibbs label sweep for GMMs.
+"""Pallas TPU kernel: fused blocked-Gibbs label sweep.
 
 Per block of B points, in one pass over HBM-resident data:
-    F      = [1; x; x (x) x]   assembled in registers    (m8, B)
-    logp   = theta @ F                                   (K, B) [plug-in]
-    g      = Gumbel noise from the on-core PRNG          (pltpu.prng_*)
-    labels = argmax_k (logp + g)                         — categorical draw
-    acc   += one_hot(labels) @ F^T                       (K, m8)
+    F      = features_t(blocks)   assembled in registers    (m8, B)
+    logp   = theta @ F                                      (K, B) [plug-in]
+    g      = Gumbel noise from the on-core PRNG             (pltpu.prng_*)
+    labels = argmax_k (logp + g)                            — categorical draw
+    acc   += one_hot(labels) @ F^T                          (K, m8)
 so a Gibbs sweep's entire data-side work (label sampling + sufficient
 statistics, reference gmm.py:227-237 + utils/stats.py:8-21) is one kernel
 with exactly TWO MXU ops per block: neither the N x K log-prob matrix nor
 the labels' one-hot ever exist in HBM. The K-sized conjugate updates and
 parameter draws stay in XLA. Same layout rules as pallas_estep.py:
 (K, B) orientation, register-assembled F (a VMEM-scratch-staged F was
-27x slower — BENCH_NOTES.md).
+27x slower — BENCH_NOTES.md), theta hi/lo bf16 split. The `features_t`
+assembler comes from the family's EStepSpec, so GMM families AND
+mixtures of linear experts run through the same kernel.
 """
 
 import functools
@@ -27,11 +29,14 @@ from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
 from mimo_tpu.ops.pallas_estep import (
-    _nt, _assemble_f, _dot_split, _pad_theta)
+    _nt, _assemble, _dot_split, _pad_theta, _x_specs)
 
 
-def _gibbs_kernel(n_valid, d, kind, seed_ref, x_ref, theta_ref,
-                  lab_ref, acc_ref):
+def _gibbs_kernel(n_valid, nx, features_t, *refs):
+    """refs = (seed_ref, *x_refs, theta_ref, lab_ref, acc_ref)."""
+    seed_ref = refs[0]
+    x_refs = refs[1:1 + nx]
+    theta_ref, lab_ref, acc_ref = refs[1 + nx:]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -40,10 +45,10 @@ def _gibbs_kernel(n_valid, d, kind, seed_ref, x_ref, theta_ref,
 
     pltpu.prng_seed(seed_ref[0], i)
 
-    xt = x_ref[:]                                    # (d, B)
-    b = xt.shape[1]
+    xts = tuple(r[:] for r in x_refs)                # (d_i, B) each
+    b = xts[0].shape[1]
     k = theta_ref.shape[0]
-    f = _assemble_f(xt, acc_ref.shape[1], kind)      # (m8, B)
+    f = _assemble(features_t, xts, acc_ref.shape[1])  # (m8, B)
 
     logp = _dot_split(theta_ref[:], f)               # (K, B)
 
@@ -71,9 +76,41 @@ def _gibbs_kernel(n_valid, d, kind, seed_ref, x_ref, theta_ref,
     acc_ref[:] += _nt(oh, f)                         # (K, m8)
 
 
+def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t):
+    """pallas_call wrapper: xts pre-padded (d_i, N') arrays, theta (K, m8)
+    with log_pi folded into column 0. TPU only (callers provide the XLA
+    fallback; pltpu.prng_* has no interpreter lowering)."""
+    n = xts[0].shape[1]
+    k, m8 = theta.shape
+    assert n % block_size == 0
+    grid = n // block_size
+    return pl.pallas_call(
+        functools.partial(_gibbs_kernel, n_valid, len(xts), features_t),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + _x_specs(xts, block_size) + [
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((k, m8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray([seed], jnp.int32), *xts, theta)
+
+
 def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
                          n_valid=None):
-    """Sample labels + accumulate one-hot statistics in one fused pass.
+    """Sample labels + accumulate one-hot statistics in one fused pass
+    (Gaussian plug-in form; the spec-driven path is fused_gibbs_pallas).
 
     Args:
       seed: int32 scalar PRNG seed (fold the sweep index in upstream).
@@ -85,6 +122,7 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
         copy isn't re-done per sweep.
     Returns: (labels (n_valid or N,) int32, EStepResult with one-hot stats).
     """
+    from mimo_tpu.ops.family_estep import gauss_features_t
     h1, h2f, c2 = params_nat
     d, n = xt.shape
     k = h1.shape[0]
@@ -121,8 +159,8 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
     m8 = -(-m // 8) * 8
     theta = jnp.concatenate(
         [c2, h1, h2f, jnp.zeros((k, m8 - m), jnp.float32)], axis=-1)
-    lab, acc = _gibbs_pallas_core(seed, theta, xt, block_size, mask_n,
-                                  'gauss')
+    lab, acc = _gibbs_pallas_core(seed, theta, (xt,), block_size, mask_n,
+                                  gauss_features_t)
     counts = acc[:, 0]
     stats = GaussStats(x=acc[:, 1:1 + d], n1=counts,
                        xxT=acc[:, 1 + d:m].reshape(k, d, d), n2=counts)
@@ -131,57 +169,26 @@ def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,
                                         counts=counts)
 
 
-def _gibbs_pallas_core(seed, theta, xt, block_size, n_valid, kind):
-    """pallas_call wrapper: xt (d, N') pre-padded, theta (K, m8) with
-    log_pi folded into column 0. TPU only (callers provide the XLA
-    fallback; pltpu.prng_* has no interpreter lowering)."""
-    d, n = xt.shape
-    k, m8 = theta.shape
-    assert n % block_size == 0
-    grid = n // block_size
-    return pl.pallas_call(
-        functools.partial(_gibbs_kernel, n_valid, d, kind),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((d, block_size), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, m8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_size), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, m8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((k, m8), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray([seed], jnp.int32), xt, theta)
-
-
-def fused_gibbs_pallas(spec, seed, params, log_pi, xt, block_size, n_valid):
+def fused_gibbs_pallas(spec, seed, params, log_pi, xts, block_size,
+                       n_valid):
     """Spec-driven fused Gibbs label sweep on the Mosaic kernel — a
     drop-in for family_estep.fused_gibbs_blockwise for any family whose
-    spec has a `feature_kind` ('gauss' / 'diag').
+    spec has a `features_t` assembler.
 
-    xt: (d, N') float32, pre-transposed and pre-padded to a block_size
-    multiple; n_valid = the real N (None when nothing is padded); `seed`
-    an int32 scalar (fold the sweep index in upstream). Labels are drawn
-    from the on-core PRNG via Gumbel-max. Returns
-    (labels (n_valid,) int32, FusedEStep with one-hot stats, lse = 0)."""
+    xts: tuple of (d_i, N') float32 arrays, pre-transposed and pre-padded
+    to a common block_size multiple; n_valid = the real N (None when
+    nothing is padded); `seed` an int32 scalar (fold the sweep index in
+    upstream). Labels are drawn from the on-core PRNG via Gumbel-max.
+    Returns (labels (n_valid,) int32, FusedEStep with one-hot stats,
+    lse = 0)."""
     from mimo_tpu.ops.family_estep import FusedEStep
     theta, m = _pad_theta(spec.theta_plugin(params), log_pi)
-    n_real = xt.shape[1] if n_valid is None else n_valid
+    n_real = xts[0].shape[1] if n_valid is None else n_valid
 
     if jax.default_backend() != 'tpu':
         # XLA fallback (CPU tests / multichip dryruns): same semantics
-        x = xt[:, :n_real].T
-        feats = spec.features((x,)).astype(jnp.float32)
+        data = tuple(t[:, :n_real].T for t in xts)
+        feats = spec.features(data).astype(jnp.float32)
         logp = feats @ theta[:, :m].T          # log_pi already in col 0
         key = jax.random.PRNGKey(seed)
         labels = jax.random.categorical(key, logp, axis=-1).astype(jnp.int32)
@@ -192,9 +199,9 @@ def fused_gibbs_pallas(spec, seed, params, log_pi, xt, block_size, n_valid):
                                   counts=acc[:, 0])
 
     mask_n = None if n_valid is None else \
-        (None if n_valid == xt.shape[1] else n_valid)
-    lab, acc = _gibbs_pallas_core(seed, theta, xt, block_size, mask_n,
-                                  spec.feature_kind)
+        (None if n_valid == xts[0].shape[1] else n_valid)
+    lab, acc = _gibbs_pallas_core(seed, theta, xts, block_size, mask_n,
+                                  spec.features_t)
     return lab[0, :n_real], FusedEStep(stats=spec.unpack(acc[:, :m]),
                                        lse=jnp.zeros((), jnp.float32),
                                        counts=acc[:, 0])

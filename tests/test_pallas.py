@@ -124,7 +124,7 @@ def test_fused_estep_pallas_matches_blockwise(diag, hier):
     ref = fused_estep_blockwise(spec, st.components, log_pi, (x,), 512)
     n = x.shape[0]
     xt = jnp.pad(x.T, ((0, 0), (0, (-n) % 384)))     # force a masked tail
-    got = fused_estep_pallas(spec, st.components, log_pi, xt, 384, n)
+    got = fused_estep_pallas(spec, st.components, log_pi, (xt,), 384, n)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b),
@@ -153,11 +153,50 @@ def test_backend_pallas_fit_matches_xla(diag):
     assert int(jnp.sum(gs.labels >= 0)) == x.shape[0]
 
 
-def test_backend_pallas_raises_for_linear_families():
+@pytest.mark.parametrize('kind', ['plain', 'diag', 'tied_affine'])
+def test_ilr_pallas_estep_matches_blockwise(kind):
+    """Mixtures of linear experts run through the same kernel: the ILR
+    product spec's features_t assembles [1, x, x(x)x, y(x)xa, xa(x)xa,
+    y(x)y] on-core; parity vs the XLA blockwise engine (interpret mode)."""
     from mimo_tpu.models.ilr import BayesianILR
-    m = BayesianILR.make(size=4, input_dim=1, output_dim=1)
+    from mimo_tpu.ops.family_estep import fused_estep_blockwise
+    from mimo_tpu.ops.pallas_estep import fused_estep_pallas
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.uniform(-2, 2, (2048, 2)), jnp.float32)
+    ys = jnp.asarray(np.sin(np.asarray(xs).sum(-1, keepdims=True))
+                     + 0.1 * rng.standard_normal((2048, 1)), jnp.float32)
+    m = BayesianILR.make(size=5, input_dim=2, output_dim=1, alpha=2.0,
+                         kappa=0.05, diag=(kind == 'diag'),
+                         tied_affine=(kind == 'tied_affine'),
+                         dtype=jnp.float32)
+    spec = m._estep_spec()
+    st, _ = m.fit_vi((xs, ys), key=1, maxiter=3)
+    log_pi = st.gating.expected_log_pi()
+    ref = fused_estep_blockwise(spec, st.components, log_pi, (xs, ys), 512)
+    n = xs.shape[0]
+    xts = tuple(jnp.pad(a.T, ((0, 0), (0, (-n) % 384)))
+                for a in (xs, ys))                   # force a masked tail
+    got = fused_estep_pallas(spec, st.components, log_pi, xts, 384, n)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=2e-4, atol=2e-4),
+        ref.stats, got.stats)
+    np.testing.assert_allclose(float(ref.lse), float(got.lse), rtol=1e-5)
+
+
+def test_ilr_backend_pallas_fit_matches_xla():
+    from mimo_tpu.models.ilr import BayesianILR
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.standard_normal((256, 1)), jnp.float32)
-    ys = jnp.asarray(rng.standard_normal((256, 1)), jnp.float32)
-    with pytest.raises(NotImplementedError):
-        m.fit_vi_fused((xs, ys), key=0, maxiter=2, backend='pallas')
+    xs = jnp.asarray(rng.uniform(-3, 3, (2048, 1)), jnp.float32)
+    ys = jnp.asarray(np.sin(np.asarray(xs)) +
+                     0.1 * rng.standard_normal((2048, 1)), jnp.float32)
+    m = BayesianILR.make(size=8, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float32)
+    m.init_transform(xs, ys)
+    st_p, v_p = m.fit_vi_fused((xs, ys), key=1, maxiter=15,
+                               backend='pallas')
+    st_x, v_x = m.fit_vi_fused((xs, ys), key=1, maxiter=15, backend='xla')
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-4)
+    gs = m.fit_gibbs_fused((xs, ys), key=2, maxiter=10, backend='pallas')
+    assert bool(jnp.all(jnp.isfinite(gs.log_pi)))
