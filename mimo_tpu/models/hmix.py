@@ -260,7 +260,18 @@ class BayesianMixtureOfMixtures:
             unpack=base.unpack,
             theta_plugin=None if base.theta_plugin is None else
             (lambda params: jax.vmap(base.theta_plugin)(params).reshape(
-                mm * kk, -1)))
+                mm * kk, -1)),
+            # the kernel-side feature assembler is label-agnostic, so the
+            # flat M*K spec inherits it — nested fused engines run on the
+            # same Mosaic kernels as the flat models (backend='auto')
+            features_t=base.features_t,
+            hi_lo_features=base.hi_lo_features)
+
+    def _kernel_rows(self, spec):
+        """Live VMEM row estimate for the Mosaic kernels' block-size cap
+        (mixture.BayesianMixture._kernel_rows with K = M*K)."""
+        m = jax.eval_shape(spec.theta, self.components_prior).shape[-1]
+        return -(-m // 8) * 8 + 4 * self.cluster_size * self.mixture_size
 
     def _split_flat(self, res):
         """Reshape a flat M*K FusedEStep back to (M, K)-stacked counts and
@@ -272,7 +283,7 @@ class BayesianMixtureOfMixtures:
         return counts, stats
 
     def fit_vi_fused(self, data, key=None, maxiter=100, block_size=None,
-                     randomize=True, tol=None, mesh=None):
+                     randomize=True, tol=None, mesh=None, backend='auto'):
         """Fused blockwise nested VI for big N: the two-level E-step runs
         as one FLAT softmax over all M*K experts (see _flat_spec); the
         M-step splits the flat counts back into per-cluster inner updates
@@ -284,31 +295,50 @@ class BayesianMixtureOfMixtures:
         scans its local shard's blocks and one (M*K, m) psum crosses the
         mesh per sweep (ops/family_estep.fused_estep_sharded).
 
+        `backend`: as in BayesianMixture.fit_vi_fused — the flat M*K spec
+        inherits the family's on-core feature assembler, so 'auto' routes
+        single-chip TPU runs through the Mosaic kernel with K = M*K rows.
+
         Returns (HMixState, trace); the trace is the nested ELBO
         (lse identity + KL terms), unlike fit_vi's expected-complete
         log-likelihood trace. `tol` stops early on |dELBO| < tol."""
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.family_estep import (
             fused_estep_blockwise, fused_estep_sharded)
-        from mimo_tpu.models.mixture import _elbo_loop
+        from mimo_tpu.models.mixture import _elbo_loop, _resolve_backend
 
         data = self._tx_data(data)
         key = _as_key(key)
         mm, kk = self.cluster_size, self.mixture_size
         spec = self._flat_spec()
         n = data[0].shape[0]
-        local_n = n if mesh is None else n // mesh.shape['data']
-        if block_size is None:
-            block_size = pick_block_size(local_n)
-        if local_n % block_size:
-            raise ValueError(
-                f'per-device N={local_n} must be a multiple of block_size='
-                f'{block_size}; pass a dividing block_size')
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import (
+                fused_estep_pallas, pick_pallas_block)
+            if block_size is None:
+                block_size = pick_pallas_block(     # any N: pad + mask
+                    n, rows=self._kernel_rows(spec))
+        else:
+            local_n = n if mesh is None else n // mesh.shape['data']
+            if block_size is None:
+                block_size = pick_block_size(local_n)
+            if local_n % block_size:
+                raise ValueError(
+                    f'per-device N={local_n} must be a multiple of '
+                    f'block_size={block_size}; pass a dividing block_size')
         fn = self._jit('vi_fused', maxiter=maxiter, block_size=block_size,
-                       randomize=randomize, tol=tol is not None, mesh=mesh)
+                       randomize=randomize, tol=tol is not None, mesh=mesh,
+                       pallas=use_pallas)
 
         def run(data, key, tol):
             n = data[0].shape[0]
+            dtype = data[0].dtype
+            if use_pallas:
+                # pad + transpose ONCE, outside the sweep loop
+                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
+                                    ((0, 0), (0, (-n) % block_size)))
+                            for a in data)
             r = jax.random.uniform(key, (n, mm), dtype=data[0].dtype,
                                    minval=1e-3, maxval=1.0)
             outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
@@ -328,7 +358,11 @@ class BayesianMixtureOfMixtures:
                     st.inner_gating)                          # (M, K)
                 lp = (st.outer_gating.expected_log_pi()[:, None]
                       + lp_in).reshape(-1)
-                if mesh is None:
+                if use_pallas:
+                    res = fused_estep_pallas(spec, st.components, lp,
+                                             xts, block_size, n)
+                    res = jax.tree.map(lambda a: a.astype(dtype), res)
+                elif mesh is None:
                     res = fused_estep_blockwise(spec, st.components, lp,
                                                 data, block_size)
                 else:
@@ -357,7 +391,7 @@ class BayesianMixtureOfMixtures:
         return fn(run, data, key, tol)
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
-                        mesh=None):
+                        mesh=None, backend='auto'):
         """Fused blockwise nested Gibbs for big N: the (outer, inner)
         labels are sampled JOINTLY as one flat categorical over all M*K
         experts per point — a valid blocked-Gibbs move on (z_n, c_n) given
@@ -370,10 +404,15 @@ class BayesianMixtureOfMixtures:
         crosses the mesh per sweep (fused_gibbs_sharded).
 
         Returns HMixGibbsState (labels are the OUTER cluster labels,
-        = flat_label // K, matching fit_gibbs)."""
+        = flat_label // K, matching fit_gibbs).
+
+        `backend`: as in BayesianMixture.fit_gibbs_fused — 'auto' routes
+        single-chip TPU runs through the Mosaic on-core-PRNG kernel with
+        K = M*K rows."""
         from mimo_tpu.ops.estep import pick_block_size
         from mimo_tpu.ops.family_estep import (
             fused_gibbs_blockwise, fused_gibbs_sharded)
+        from mimo_tpu.models.mixture import _resolve_backend
 
         data = self._tx_data(data)
         key = _as_key(key)
@@ -383,25 +422,47 @@ class BayesianMixtureOfMixtures:
             raise NotImplementedError(
                 'no fused Gibbs spec for this family; use fit_gibbs')
         n = data[0].shape[0]
-        local_n = n if mesh is None else n // mesh.shape['data']
-        if block_size is None:
-            block_size = pick_block_size(local_n)
-        if local_n % block_size:
-            raise ValueError(
-                f'per-device N={local_n} must be a multiple of block_size='
-                f'{block_size}; pass a dividing block_size')
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import pick_pallas_block
+            from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
+            if block_size is None:
+                block_size = pick_pallas_block(     # any N: pad + mask
+                    n, rows=self._kernel_rows(spec))
+        else:
+            local_n = n if mesh is None else n // mesh.shape['data']
+            if block_size is None:
+                block_size = pick_block_size(local_n)
+            if local_n % block_size:
+                raise ValueError(
+                    f'per-device N={local_n} must be a multiple of '
+                    f'block_size={block_size}; pass a dividing block_size')
         fn = self._jit('gibbs_fused', maxiter=maxiter,
-                       block_size=block_size, mesh=mesh)
+                       block_size=block_size, mesh=mesh, pallas=use_pallas)
         gibbs_update = getattr(self.family, 'gibbs_update', None)
 
         def run(data, key):
+            dtype = data[0].dtype
             comps0 = self.components_prior
             gatings0 = self.inner_gating_prior
             outer0 = self.outer_gating_prior
             params0 = jax.vmap(self.family.mode_params)(comps0)
+            if use_pallas:
+                # pad + transpose ONCE, outside the sweep loop; per-sweep
+                # int32 seeds feed the kernel's on-core PRNG
+                n_ = data[0].shape[0]
+                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
+                                    ((0, 0), (0, (-n_) % block_size)))
+                            for a in data)
+                seeds = jax.random.randint(
+                    jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+            else:
+                seeds = jnp.zeros((maxiter,), jnp.int32)   # unused
 
-            def sweep(carry, k):
+            def sweep(carry, inp):
                 comps, gatings, outer, params_prev, _ = carry
+                k, seed = inp
                 k_par, k_po, k_pi, k_lab = jax.random.split(k, 4)
                 if gibbs_update is None:
                     params = jax.vmap(self.family.sample_params)(
@@ -416,7 +477,13 @@ class BayesianMixtureOfMixtures:
                 log_pi = (jnp.log(jnp.clip(pi_o, 1e-37, None))[:, None]
                           + jnp.log(jnp.clip(pi_i, 1e-37, None))
                           ).reshape(-1)
-                if mesh is None:
+                if use_pallas:
+                    labels, res = fused_gibbs_pallas(
+                        spec, seed, params, log_pi, xts, block_size,
+                        data[0].shape[0])
+                    res = jax.tree.map(lambda a: a.astype(dtype)
+                                       if a.dtype != jnp.int32 else a, res)
+                elif mesh is None:
                     labels, res = fused_gibbs_blockwise(
                         spec, k_lab, params, log_pi, data, block_size)
                 else:
@@ -444,7 +511,7 @@ class BayesianMixtureOfMixtures:
             labels0 = jnp.zeros((n,), jnp.int32)
             (comps, gatings, outer, _, labels), _ = jax.lax.scan(
                 sweep, (comps0, gatings0, outer0, params0, labels0),
-                jax.random.split(key, maxiter))
+                (jax.random.split(key, maxiter), seeds))
             return HMixGibbsState(outer_gating=outer, inner_gating=gatings,
                                   components=comps,
                                   labels=labels // kk)

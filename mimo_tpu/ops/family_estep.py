@@ -54,6 +54,15 @@ class EStepSpec(NamedTuple):
     # INSIDE the Mosaic kernel, so F lives in registers and the N x m
     # feature tensor never exists in HBM. None = kernel path unavailable.
     features_t: Any = None
+    # True -> the kernels run their dots with F in a bf16 hi+lo split
+    # (like theta always is). Needed by linear-expert families: their
+    # M-step cancels yyT - M'K'M' down to the per-point noise, so once
+    # the posterior noise precision grows past ~1/eps_bf16 of the yy
+    # scale, single-pass bf16 rounding of the second-moment feature rows
+    # destabilizes the fit (measured: nested ILR NaNs by sweep ~15 on
+    # TPU; split-F converges to the XLA trace). Gaussian-only families
+    # keep the cheaper single-pass F (scripts/precision_study.py).
+    hi_lo_features: bool = False
 
 
 class FusedEStep(NamedTuple):
@@ -268,7 +277,7 @@ def linear_spec(affine: bool = True, p_dim: int = None,
              -0.5 * lm.reshape(-1, pd * pd)], axis=-1)
 
     return EStepSpec(features, theta, unpack, theta_plugin,
-                     linear_features_t(affine))
+                     linear_features_t(affine), hi_lo_features=True)
 
 
 def diag_linear_spec(affine: bool = True, p_dim: int = None,
@@ -308,7 +317,7 @@ def diag_linear_spec(affine: bool = True, p_dim: int = None,
              -0.5 * l_mat.reshape(-1, pd * pd)], axis=-1)
 
     return EStepSpec(base.features, theta, base.unpack, theta_plugin,
-                     base.features_t)
+                     base.features_t, hi_lo_features=base.hi_lo_features)
 
 
 # -- products (ILR: basis(x) x expert(y|x)) ----------------------------------
@@ -354,7 +363,8 @@ def product_spec(specs, data_slices, widths) -> EStepSpec:
         return jnp.concatenate(blocks, axis=-1)
 
     return EStepSpec(features, theta, unpack, theta_plugin,
-                     _product_features_t(specs, data_slices))
+                     _product_features_t(specs, data_slices),
+                     hi_lo_features=any(s.hi_lo_features for s in specs))
 
 
 def gauss_width(d):
@@ -391,7 +401,7 @@ def tied_affine_spec(input_dim, output_dim) -> EStepSpec:
             yyT=lg.yyT, n=lg.n)
 
     return EStepSpec(base.features, theta, unpack, base.theta_plugin,
-                     base.features_t)
+                     base.features_t, hi_lo_features=base.hi_lo_features)
 
 
 def ilr_spec(input_dim, output_dim, affine=True, diag_basis=False,

@@ -76,17 +76,44 @@ def _nt(a, b):
                                precision=_DOT_PREC)
 
 
+def _split(a):
+    """bf16 hi + f32 lo residual split: hi + lo == a to ~2^-17 relative
+    through a pair of DEFAULT (bf16) passes."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
 def _dot_split(theta, f):
     """theta @ f with theta split into bf16 hi + lo parts: kills the
     systematic per-component rounding (see module comment) at the cost of
     one extra DEFAULT-precision pass; f is rounded to bf16 once per dot,
     a random per-point perturbation."""
-    hi = theta.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = theta - hi
+    hi, lo = _split(theta)
     return (jnp.dot(hi, f, precision=_DOT_PREC,
                     preferred_element_type=jnp.float32)
             + jnp.dot(lo, f, precision=_DOT_PREC,
                       preferred_element_type=jnp.float32))
+
+
+def _dot_split_ff(theta, f):
+    """theta @ f with BOTH operands hi/lo split (the eps^2 lo x lo term
+    dropped): 3 DEFAULT passes, accurate to ~2^-16 relative. Used when the
+    spec sets hi_lo_features — linear-expert log-densities multiply the
+    y(x)y feature rows by noise precisions that grow without bound as the
+    fit converges, so single-pass rounding of F injects multi-nat
+    per-point errors there (see EStepSpec.hi_lo_features)."""
+    th_hi, th_lo = _split(theta)
+    f_hi, f_lo = _split(f)
+    d = functools.partial(jnp.dot, precision=_DOT_PREC,
+                          preferred_element_type=jnp.float32)
+    return d(th_hi, f_hi) + d(th_hi, f_lo) + d(th_lo, f_hi)
+
+
+def _nt_split(a, b):
+    """_nt with b hi/lo split (a taken verbatim — responsibilities /
+    one-hots round benignly): 2 DEFAULT passes."""
+    b_hi, b_lo = _split(b)
+    return _nt(a, b_hi) + _nt(a, b_lo)
 
 
 def _assemble(features_t, xts, m8):
@@ -100,7 +127,7 @@ def _assemble(features_t, xts, m8):
     return f
 
 
-def _estep_kernel2(n_valid, nx, features_t, *refs):
+def _estep_kernel2(n_valid, nx, features_t, split_f, *refs):
     """Two-dot E-step body; refs = (*x_refs, theta_ref, acc_ref, lse_ref).
     theta carries c + log_pi in column 0 against F's constant row, so
     counts fall out of acc[:, 0]."""
@@ -116,7 +143,8 @@ def _estep_kernel2(n_valid, nx, features_t, *refs):
     b = xts[0].shape[1]
     f = _assemble(features_t, xts, acc_ref.shape[1])     # (m8, B)
 
-    logp = _dot_split(theta_ref[:], f)                   # (K, B)
+    logp = (_dot_split_ff if split_f else _dot_split)(
+        theta_ref[:], f)                                 # (K, B)
     mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
     ex = jnp.exp(logp - mx)                              # (K, B)
     if n_valid is None:
@@ -129,7 +157,7 @@ def _estep_kernel2(n_valid, nx, features_t, *refs):
         denom = jnp.maximum(jnp.sum(ex, axis=0, keepdims=True),
                             jnp.float32(1e-37))
         lse = (mx + jnp.log(denom)) * mask
-    acc_ref[:] += _nt(ex, f / denom)                     # (K, m8)
+    acc_ref[:] += (_nt_split if split_f else _nt)(ex, f / denom)  # (K, m8)
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 
@@ -138,7 +166,8 @@ def _x_specs(xts, block_size):
                          memory_space=pltpu.VMEM) for xt in xts]
 
 
-def _estep_pallas2(xts, theta, block_size, n_valid, features_t):
+def _estep_pallas2(xts, theta, block_size, n_valid, features_t,
+                   split_f=False):
     """Launcher: xts = tuple of (d_i, N') arrays pre-padded to a common
     block_size multiple; theta (K, m8) with column 0 = c + log_pi."""
     n = xts[0].shape[1]
@@ -146,7 +175,8 @@ def _estep_pallas2(xts, theta, block_size, n_valid, features_t):
     assert n % block_size == 0
     grid = n // block_size
     acc, lse = pl.pallas_call(
-        functools.partial(_estep_kernel2, n_valid, len(xts), features_t),
+        functools.partial(_estep_kernel2, n_valid, len(xts), features_t,
+                          split_f),
         grid=(grid,),
         in_specs=_x_specs(xts, block_size) + [
             pl.BlockSpec((k, m8), lambda i: (0, 0),
@@ -240,7 +270,8 @@ def fused_estep_pallas(spec, post, log_pi, xts, block_size, n_valid):
     from mimo_tpu.ops.family_estep import FusedEStep
     theta, m = _pad_theta(spec.theta(post), log_pi)
     acc, lse = _estep_pallas2(xts, theta, block_size, n_valid,
-                              spec.features_t)
+                              spec.features_t,
+                              getattr(spec, 'hi_lo_features', False))
     return FusedEStep(stats=spec.unpack(acc[:, :m]), lse=lse[0, 0],
                       counts=acc[:, 0])
 

@@ -29,10 +29,11 @@ from mimo_tpu.ops.estep import EStepResult
 from mimo_tpu.utils.stats import LOG2PI
 
 from mimo_tpu.ops.pallas_estep import (
-    _nt, _assemble, _dot_split, _pad_theta, _x_specs)
+    _nt, _nt_split, _assemble, _dot_split, _dot_split_ff, _pad_theta,
+    _x_specs)
 
 
-def _gibbs_kernel(n_valid, nx, features_t, *refs):
+def _gibbs_kernel(n_valid, nx, features_t, split_f, *refs):
     """refs = (seed_ref, *x_refs, theta_ref, lab_ref, acc_ref)."""
     seed_ref = refs[0]
     x_refs = refs[1:1 + nx]
@@ -50,7 +51,8 @@ def _gibbs_kernel(n_valid, nx, features_t, *refs):
     k = theta_ref.shape[0]
     f = _assemble(features_t, xts, acc_ref.shape[1])  # (m8, B)
 
-    logp = _dot_split(theta_ref[:], f)               # (K, B)
+    logp = (_dot_split_ff if split_f else _dot_split)(
+        theta_ref[:], f)                             # (K, B)
 
     # Gumbel-max categorical sampling with the on-core PRNG
     bits = pltpu.prng_random_bits((k, b))
@@ -73,10 +75,12 @@ def _gibbs_kernel(n_valid, nx, features_t, *refs):
         col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
         oh = oh * (col < n_valid).astype(jnp.float32)
 
-    acc_ref[:] += _nt(oh, f)                         # (K, m8)
+    # the one-hot is exact in bf16; split F when the spec needs it
+    acc_ref[:] += (_nt_split if split_f else _nt)(oh, f)   # (K, m8)
 
 
-def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t):
+def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t,
+                       split_f=False):
     """pallas_call wrapper: xts pre-padded (d_i, N') arrays, theta (K, m8)
     with log_pi folded into column 0. TPU only (callers provide the XLA
     fallback; pltpu.prng_* has no interpreter lowering)."""
@@ -85,7 +89,8 @@ def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t):
     assert n % block_size == 0
     grid = n // block_size
     return pl.pallas_call(
-        functools.partial(_gibbs_kernel, n_valid, len(xts), features_t),
+        functools.partial(_gibbs_kernel, n_valid, len(xts), features_t,
+                          split_f),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + _x_specs(xts, block_size) + [
@@ -201,7 +206,8 @@ def fused_gibbs_pallas(spec, seed, params, log_pi, xts, block_size,
     mask_n = None if n_valid is None else \
         (None if n_valid == xts[0].shape[1] else n_valid)
     lab, acc = _gibbs_pallas_core(seed, theta, xts, block_size, mask_n,
-                                  spec.features_t)
+                                  spec.features_t,
+                                  getattr(spec, 'hi_lo_features', False))
     return lab[0, :n_real], FusedEStep(stats=spec.unpack(acc[:, :m]),
                                        lse=jnp.zeros((), jnp.float32),
                                        counts=acc[:, 0])

@@ -200,3 +200,67 @@ def test_ilr_backend_pallas_fit_matches_xla():
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-4)
     gs = m.fit_gibbs_fused((xs, ys), key=2, maxiter=10, backend='pallas')
     assert bool(jnp.all(jnp.isfinite(gs.log_pi)))
+
+
+def test_hmix_backend_pallas_fit_matches_xla():
+    """Nested mixtures inherit the on-core feature assembler through
+    _flat_spec (K = M*K kernel rows): backend='pallas' (interpret mode
+    off-TPU) matches 'xla' for the fused nested VI, and the fused nested
+    joint-label Gibbs runs and separates the super-clusters."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    rng = np.random.default_rng(7)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 500), blob([-5, -3], 500),
+                   blob([5, 5], 500), blob([5, 3], 500)])
+    x = jnp.asarray(x[rng.permutation(2000)], jnp.float32)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -4], [5, 4]],
+        dtype=jnp.float32)
+    st_p, v_p = m.fit_vi_fused(x, key=0, maxiter=15, backend='pallas')
+    st_x, v_x = m.fit_vi_fused(x, key=0, maxiter=15, backend='xla')
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-4)
+    gs = m.fit_gibbs_fused(x, key=2, maxiter=15, backend='pallas')
+    lab = np.asarray(gs.labels)
+    left = np.asarray(x)[:, 0] < 0
+    assert (lab[left] == lab[left][0]).mean() > 0.9
+    assert (lab[~left] == lab[~left][0]).mean() > 0.9
+    # hierarchical inner family routes through the same kernel (its
+    # gibbs_update samples params on the M-side)
+    mh = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        kappa=0.5, psi_scale=0.5, maxsubiter=3,
+        means=[[-5, -4], [5, 4]], dtype=jnp.float32)
+    vh_p = mh.fit_vi_fused(x, key=0, maxiter=10, backend='pallas')[1]
+    vh_x = mh.fit_vi_fused(x, key=0, maxiter=10, backend='xla')[1]
+    np.testing.assert_allclose(np.asarray(vh_p), np.asarray(vh_x),
+                               rtol=1e-4)
+    gsh = mh.fit_gibbs_fused(x, key=3, maxiter=8, backend='pallas')
+    assert bool(jnp.all(jnp.isfinite(
+        jax.tree.leaves(gsh.components)[0])))
+
+
+def test_hmix_ilr_backend_pallas_fit_matches_xla():
+    """Nested mixtures of linear experts: the product-spec assembler with
+    M*K rows, pallas vs xla parity end-to-end."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    rng = np.random.default_rng(3)
+    n = 1024
+    x1 = rng.uniform(-2, 0, (n // 2, 1))
+    x2 = rng.uniform(0, 2, (n // 2, 1))
+    y = np.vstack([1.5 * x1 + 1, -2.0 * x2 + 0.5]) \
+        + 0.05 * rng.standard_normal((n, 1))
+    x = jnp.asarray(np.vstack([x1, x2]), jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=2, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float32)
+    v_p = m.fit_vi_fused((x, y), key=1, maxiter=12, backend='pallas')[1]
+    v_x = m.fit_vi_fused((x, y), key=1, maxiter=12, backend='xla')[1]
+    # f32 summation-order noise compounds over sweeps near convergence
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=5e-4)
+    gs = m.fit_gibbs_fused((x, y), key=2, maxiter=8, backend='pallas')
+    assert int(jnp.sum(gs.labels >= 0)) == n
