@@ -6,13 +6,18 @@ d=2; BASELINE.md), fused Pallas backend (the production default on TPU).
 
 Detail rows (stderr), recorded in BENCH_NOTES.md:
   - N=1e7 d=2 K=50: VI + Gibbs for both backends, posterior predictive
+  - SVI at N=1e7 (B=256 reference-default and B=65536 TPU-sized), and
+    out-of-core fit_svi_stream fed by the native C loader (pts/s ingest)
+  - the flagship recipe end-to-end (Gibbs init -> super-iters of SVI with
+    prior<-posterior re-anchoring -> predict, evaluate_sine.py:131-155)
+    on ILR sine at N=1e6
   - N=1e6 continuity row vs the frozen NumPy reference
   - MXU-fed shapes: d=8 K=128 (N=1e7) and d=32 K=256 (N=1e6) with
-    nominal FLOP/s and %-of-roofline (measured machine peak: 17.5 TFLOP/s
-    for a fed f32 DEFAULT matmul, scripts/roofline.py)
-  - ILR (mixture of linear experts) q=8: the generic fused XLA engine
+    nominal FLOP/s and %-of-roofline
+  - ILR (mixture of linear experts) q=8: VI + Gibbs, pallas vs xla
+  - nested mixture-of-mixtures (M=2 x K=3) VI + Gibbs at N=1e6
   - chain parallelism: 16 vmapped restarts vs 1 (evaluate_sinc_parallel's
-    24-process joblib pool, on-device)
+    24-process joblib pool, on-device), through the Mosaic kernels
 
 `vs_baseline` compares against the reference (hanyas/mimo, NumPy) running
 the same model/update on CPU, measured by scripts/measure_reference.py on
@@ -133,6 +138,66 @@ def main():
         f"sw/s | Gibbs xla {r['gibbs_xla']:.1f} | predictive "
         f"{serve_rate/1e6:.1f}M pts/s | ELBO {r['elbo']:.4g}")
 
+    # ---- SVI: the scalable path (SURVEY.md §3.3) -------------------------
+    # reference-default B=256 (evaluate_sine.py:46) and a TPU-sized batch
+    for b in (256, 65536):
+        steps = 500 if b == 256 else 200
+        dt, (st_svi, _) = best_of(lambda bb=b, ss=steps: model.fit_svi(
+            x, key=5, maxiter=ss, step_size=0.5, batch_size=bb), reps=2)
+        leaves = jax.tree.leaves(st_svi.components)
+        assert all(bool(jnp.all(jnp.isfinite(a))) for a in leaves)
+        log(f'# [SVI 1e7/K50/d2 B={b}] {steps / dt:.0f} steps/s '
+            f'({steps / dt * b / 1e6:.1f}M pts/s through the E-step)')
+
+    # ---- out-of-core SVI via the native C loader -------------------------
+    import numpy as np
+    import tempfile
+    from mimo_tpu.io import MmapDataset, write_bin
+    path = os.path.join(tempfile.gettempdir(), f'bench_svi_{os.getpid()}.bin')
+    try:
+        write_bin(path, np.asarray(x[:2_000_000], np.float32))
+        ds = MmapDataset(path)
+        rng_np = np.random.default_rng(0)
+        bstream, steps_s = 65536, 100
+        batches = ds.minibatches(rng_np, bstream, steps_s)
+        t0 = time.time()
+        model.fit_svi_stream(lambda i: jnp.asarray(next(batches)),
+                             total_size=ds.shape[0], key=6,
+                             maxiter=steps_s, step_size=0.5,
+                             batch_size=bstream)
+        dt = time.time() - t0
+        log(f'# [SVI-stream 2e6/B65536] {steps_s * bstream / dt / 1e6:.1f}M '
+            f'pts/s ingested (C loader mmap -> host -> HBM -> nat-grad '
+            f'step, {steps_s / dt:.0f} steps/s)')
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+    # ---- flagship recipe: Gibbs -> SVI super-iters -> re-anchor ----------
+    from mimo_tpu.config import ILRConfig, GatingConfig, TrainConfig, \
+        flagship_fit
+    kr = jax.random.PRNGKey(11)
+    n_rec = 1_000_000
+    xr = jax.random.uniform(kr, (n_rec, 1), minval=-6., maxval=6.)
+    yr = jnp.sin(xr) + 0.1 * jax.random.normal(
+        jax.random.fold_in(kr, 1), (n_rec, 1))
+    rec_cfg = ILRConfig(size=50, input_dim=1, output_dim=1,
+                        gating=GatingConfig('stick-breaking', 5.0),
+                        kappa=0.05, K_scale=1e-2)
+    rec_model = rec_cfg.build()
+    rec_model.init_transform(xr, yr)
+    train = TrainConfig(super_iters=2, gibbs_iters=10, svi_iters=500,
+                        svi_step_size=0.5, svi_batch_size=256, seed=1)
+    t0 = time.time()
+    rec_model, rec_state = flagship_fit(rec_model, (xr, yr), train)
+    mu_p, _, _, nlpd = rec_model.predict(rec_state, xr, yr)
+    rmse = float(jnp.sqrt(jnp.mean((mu_p - yr) ** 2)))
+    dt = time.time() - t0
+    log(f'# [recipe ILR-sine 1e6] Gibbs(10)+2x(SVI 500 B=256 + re-anchor)'
+        f'+predict in {dt:.1f}s | RMSE {rmse:.4f} | mean NLPD '
+        f'{float(jnp.mean(nlpd)):.4f} (compile included; '
+        f'evaluate_sine.py:131-155 at 500x its N=2000)')
+
     # ---- continuity: N=1e6 vs reference ----------------------------------
     r6 = bench_gmm(1_000_000, K, D, ITERS, reps=2)
     log(f"# [1e6/K50/d2] VI {r6['vi_auto']:.1f} it/s "
@@ -168,8 +233,43 @@ def main():
     dt, (st_i, vlb_i) = best_of(
         lambda: ilr.fit_vi_fused((xs, ys), key=1, maxiter=50), reps=2)
     assert bool(jnp.isfinite(vlb_i[-1]))
-    log(f'# [ILR 1e6/K50/q8] VI {50 / dt:.1f} it/s | ELBO '
-        f'{float(vlb_i[-1]):.4g}')
+    dtx, _ = best_of(
+        lambda: ilr.fit_vi_fused((xs, ys), key=1, maxiter=50,
+                                 backend='xla'), reps=2)
+    dtg, gs_i = best_of(
+        lambda: ilr.fit_gibbs_fused((xs, ys), key=2, maxiter=50), reps=2)
+    assert bool(jnp.all(jnp.isfinite(gs_i.log_pi)))
+    dtgx, _ = best_of(
+        lambda: ilr.fit_gibbs_fused((xs, ys), key=2, maxiter=50,
+                                    backend='xla'), reps=2)
+    log(f'# [ILR 1e6/K50/q8] VI pallas {50 / dt:.1f} it/s | VI xla '
+        f'{50 / dtx:.1f} | Gibbs pallas {50 / dtg:.1f} sw/s | Gibbs xla '
+        f'{50 / dtgx:.1f} | ELBO {float(vlb_i[-1]):.4g}')
+
+    # ---- nested mixture-of-mixtures (flat M*K kernel rows) ---------------
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    kh = jax.random.PRNGKey(7)
+    xh = jnp.concatenate([
+        jax.random.normal(kh, (500_000, 2)) * 0.7 + jnp.array([-5., -4.]),
+        jax.random.normal(jax.random.fold_in(kh, 1), (500_000, 2)) * 0.7
+        + jnp.array([5., 4.])])
+    hm = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=4, mixture_size=8, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5)
+    dth, (hst, htr) = best_of(
+        lambda: hm.fit_vi_fused(xh, key=0, maxiter=50), reps=2)
+    assert bool(jnp.isfinite(htr[-1]))
+    dthx, _ = best_of(
+        lambda: hm.fit_vi_fused(xh, key=0, maxiter=50, backend='xla'),
+        reps=2)
+    dthg, hgs = best_of(
+        lambda: hm.fit_gibbs_fused(xh, key=2, maxiter=50), reps=2)
+    dthgx, _ = best_of(
+        lambda: hm.fit_gibbs_fused(xh, key=2, maxiter=50, backend='xla'),
+        reps=2)
+    log(f'# [nested 1e6/M4xK8/d2] VI pallas {50 / dth:.1f} it/s | VI xla '
+        f'{50 / dthx:.1f} | Gibbs pallas {50 / dthg:.1f} sw/s | Gibbs xla '
+        f'{50 / dthgx:.1f}')
 
     # ---- chain parallelism (vmapped restarts; the reference's 24-process
     # joblib pool at its own scale, evaluate_sinc_parallel.py) ------------
@@ -177,15 +277,19 @@ def main():
     x5 = r6['x'][:100_000]
     m5 = BayesianGMM.make(size=16, dim=D, gating='dp', alpha=1.0,
                           kappa=0.05, psi_scale=0.5)
-    dt1, _ = best_of(lambda: m5.fit_vi_fused(
-        x5, key=1, maxiter=50, backend='xla'), reps=2)
     chain_keys = jax.random.split(jax.random.PRNGKey(1), 16)
-    dt16, _ = best_of(lambda: fit_chains(
-        m5, 'fit_vi_fused', x5, chain_keys, maxiter=50, backend='xla'),
-        reps=2)
-    log(f'# [chains 1e5/K16] 1 restart {dt1*1e3:.0f}ms, 16 vmapped '
-        f'restarts {dt16*1e3:.0f}ms -> {16 * dt1 / dt16:.1f}x aggregate '
-        f'speedup vs serial restarts')
+    rows = []
+    for be in ('auto', 'xla'):       # 'auto' = the Mosaic kernel on TPU
+        dt1, _ = best_of(lambda b=be: m5.fit_vi_fused(
+            x5, key=1, maxiter=50, backend=b), reps=2)
+        dt16, _ = best_of(lambda b=be: fit_chains(
+            m5, 'fit_vi_fused', x5, chain_keys, maxiter=50, backend=b),
+            reps=2)
+        rows.append(f'{be}: 1 restart {dt1 * 1e3:.0f}ms, 16 vmapped '
+                    f'{dt16 * 1e3:.0f}ms ({16 * dt1 / dt16:.1f}x '
+                    f'aggregate)')
+    log('# [chains 1e5/K16] ' + ' | '.join(rows)
+        + ' (vmap adds a chain grid dim to the kernel)')
 
     print(json.dumps({
         'metric': 'dpgmm_vi_iters_per_s_n1e7_k50',

@@ -315,10 +315,12 @@ class BayesianMixtureOfMixtures:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import (
-                fused_estep_pallas, pick_pallas_block)
+                fused_estep_pallas, fused_estep_pallas_sharded,
+                pick_pallas_block)
             if block_size is None:
+                local = n if mesh is None else -(-n // mesh.shape['data'])
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=self._kernel_rows(spec))
+                    local, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -336,9 +338,8 @@ class BayesianMixtureOfMixtures:
             dtype = data[0].dtype
             if use_pallas:
                 # pad + transpose ONCE, outside the sweep loop
-                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
-                                    ((0, 0), (0, (-n) % block_size)))
-                            for a in data)
+                from mimo_tpu.models.mixture import _pallas_xts
+                xts = _pallas_xts(data, block_size, mesh)
             r = jax.random.uniform(key, (n, mm), dtype=data[0].dtype,
                                    minval=1e-3, maxval=1.0)
             outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
@@ -358,7 +359,12 @@ class BayesianMixtureOfMixtures:
                     st.inner_gating)                          # (M, K)
                 lp = (st.outer_gating.expected_log_pi()[:, None]
                       + lp_in).reshape(-1)
-                if use_pallas:
+                if use_pallas and mesh is not None:
+                    res = fused_estep_pallas_sharded(spec, st.components,
+                                                     lp, xts, block_size,
+                                                     n, mesh)
+                    res = jax.tree.map(lambda a: a.astype(dtype), res)
+                elif use_pallas:
                     res = fused_estep_pallas(spec, st.components, lp,
                                              xts, block_size, n)
                     res = jax.tree.map(lambda a: a.astype(dtype), res)
@@ -425,10 +431,12 @@ class BayesianMixtureOfMixtures:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import pick_pallas_block
-            from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
+            from mimo_tpu.ops.pallas_gibbs import (
+                fused_gibbs_pallas, fused_gibbs_pallas_sharded)
             if block_size is None:
+                local = n if mesh is None else -(-n // mesh.shape['data'])
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=self._kernel_rows(spec))
+                    local, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -450,10 +458,8 @@ class BayesianMixtureOfMixtures:
             if use_pallas:
                 # pad + transpose ONCE, outside the sweep loop; per-sweep
                 # int32 seeds feed the kernel's on-core PRNG
-                n_ = data[0].shape[0]
-                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
-                                    ((0, 0), (0, (-n_) % block_size)))
-                            for a in data)
+                from mimo_tpu.models.mixture import _pallas_xts
+                xts = _pallas_xts(data, block_size, mesh)
                 seeds = jax.random.randint(
                     jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
                     dtype=jnp.int32)
@@ -477,7 +483,13 @@ class BayesianMixtureOfMixtures:
                 log_pi = (jnp.log(jnp.clip(pi_o, 1e-37, None))[:, None]
                           + jnp.log(jnp.clip(pi_i, 1e-37, None))
                           ).reshape(-1)
-                if use_pallas:
+                if use_pallas and mesh is not None:
+                    labels, res = fused_gibbs_pallas_sharded(
+                        spec, seed, params, log_pi, xts, block_size,
+                        data[0].shape[0], mesh)
+                    res = jax.tree.map(lambda a: a.astype(dtype)
+                                       if a.dtype != jnp.int32 else a, res)
+                elif use_pallas:
                     labels, res = fused_gibbs_pallas(
                         spec, seed, params, log_pi, xts, block_size,
                         data[0].shape[0])

@@ -204,10 +204,12 @@ class BayesianMixture:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import (
-                fused_estep_pallas, pick_pallas_block)
+                fused_estep_pallas, fused_estep_pallas_sharded,
+                pick_pallas_block)
             if block_size is None:
+                local = n if mesh is None else -(-n // mesh.shape['data'])
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=self._kernel_rows(spec))
+                    local, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -234,14 +236,18 @@ class BayesianMixture:
             else:
                 state = init_state
             if use_pallas:
-                # pad + transpose ONCE, outside the sweep loop
-                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
-                                    ((0, 0), (0, (-n) % block_size)))
-                            for a in data)
+                # pad + transpose ONCE, outside the sweep loop (per-device
+                # columns must be a block multiple on the mesh path)
+                xts = _pallas_xts(data, block_size, mesh)
 
             def step(state, _):
                 log_pi = state.gating.expected_log_pi()
-                if use_pallas:
+                if use_pallas and mesh is not None:
+                    res = fused_estep_pallas_sharded(
+                        spec, state.components, log_pi, xts, block_size, n,
+                        mesh)
+                    res = jax.tree.map(lambda a: a.astype(dtype), res)
+                elif use_pallas:
                     res = fused_estep_pallas(spec, state.components, log_pi,
                                              xts, block_size, n)
                     res = jax.tree.map(lambda a: a.astype(dtype), res)
@@ -298,10 +304,12 @@ class BayesianMixture:
         use_pallas = _resolve_backend(backend, spec, mesh)
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import pick_pallas_block
-            from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
+            from mimo_tpu.ops.pallas_gibbs import (
+                fused_gibbs_pallas, fused_gibbs_pallas_sharded)
             if block_size is None:
+                local = n if mesh is None else -(-n // mesh.shape['data'])
                 block_size = pick_pallas_block(     # any N: pad + mask
-                    n, rows=self._kernel_rows(spec))
+                    local, rows=self._kernel_rows(spec))
         else:
             local_n = n if mesh is None else n // mesh.shape['data']
             if block_size is None:
@@ -329,9 +337,7 @@ class BayesianMixture:
             if use_pallas:
                 # pad + transpose ONCE, outside the sweep loop; per-sweep
                 # int32 seeds feed the kernel's on-core PRNG
-                xts = tuple(jnp.pad(a.astype(jnp.float32).T,
-                                    ((0, 0), (0, (-n) % block_size)))
-                            for a in data)
+                xts = _pallas_xts(data, block_size, mesh)
                 seeds = jax.random.randint(
                     jax.random.fold_in(key, 7), (maxiter,), 0, 2**31 - 1,
                     dtype=jnp.int32)
@@ -354,7 +360,13 @@ class BayesianMixture:
                     params = params_prev
                 probs = gating.sample(k_pi)
                 log_pi = jnp.log(jnp.clip(probs, 1e-37, None)).astype(dtype)
-                if use_pallas:
+                if use_pallas and mesh is not None:
+                    labels, res = fused_gibbs_pallas_sharded(
+                        spec, seed, params, log_pi, xts, block_size, n,
+                        mesh)
+                    res = jax.tree.map(lambda a: a.astype(dtype)
+                                       if a.dtype != jnp.int32 else a, res)
+                elif use_pallas:
                     labels, res = fused_gibbs_pallas(
                         spec, seed, params, log_pi, xts, block_size, n)
                     res = jax.tree.map(lambda a: a.astype(dtype)
@@ -818,12 +830,34 @@ class BayesianMixture:
         return self._cache[key]
 
 
+def _pallas_xts(data, block_size, mesh, axis='data'):
+    """Transpose + zero-pad the data arrays into the Mosaic kernels'
+    (d_i, N') layout, once, outside the sweep loop. On the mesh path the
+    pad makes the PER-DEVICE column count a block_size multiple and the
+    result is sharding-constrained over columns so each device's kernel
+    sees a contiguous local shard."""
+    n = data[0].shape[0]
+    mult = block_size if mesh is None else block_size * mesh.shape[axis]
+    xts = tuple(jnp.pad(a.astype(jnp.float32).T,
+                        ((0, 0), (0, (-n) % mult)))
+                for a in data)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        xts = tuple(jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, P(None, axis))) for t in xts)
+    return xts
+
+
 def _resolve_backend(backend, spec, mesh):
     """True -> route through the Mosaic kernels (ops/pallas_estep.py,
-    ops/pallas_gibbs.py). 'auto' picks them on TPU for single-chip runs of
-    families whose features the kernel can assemble on-core; an explicit
-    'pallas' raises when unsupported rather than silently falling back
-    (off-TPU it still runs, via interpret mode / the XLA fallback)."""
+    ops/pallas_gibbs.py). 'auto' picks them on TPU for families whose
+    features the kernel can assemble on-core — with OR without a mesh:
+    the mesh path invokes the kernel per-device inside shard_map and
+    psums the (K, m) accumulator (fused_estep_pallas_sharded /
+    fused_gibbs_pallas_sharded), so multi-chip runs keep the 3-6x kernel
+    win. An explicit 'pallas' raises when unsupported rather than
+    silently falling back (off-TPU it still runs, via interpret mode /
+    the XLA fallback)."""
     kind = getattr(spec, 'features_t', None)
     if backend == 'xla':
         return False
@@ -831,16 +865,11 @@ def _resolve_backend(backend, spec, mesh):
         if kind is None:
             raise NotImplementedError(
                 'the pallas engine supports families with on-core-'
-                'assemblable features (full/diag/tied/hierarchical GMMs) '
-                "only; use backend='xla'")
-        if mesh is not None:
-            raise NotImplementedError(
-                "backend='pallas' is single-chip; use backend='xla' with "
-                'mesh for the shard_map path')
+                'assemblable features (full/diag/tied/hierarchical GMMs '
+                "and mixtures of linear experts) only; use backend='xla'")
         return True
     if backend == 'auto':
-        return (kind is not None and mesh is None
-                and jax.default_backend() == 'tpu')
+        return kind is not None and jax.default_backend() == 'tpu'
     raise ValueError(f'unknown backend: {backend!r}')
 
 

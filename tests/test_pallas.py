@@ -260,7 +260,15 @@ def test_hmix_ilr_backend_pallas_fit_matches_xla():
         kappa=0.05, dtype=jnp.float32)
     v_p = m.fit_vi_fused((x, y), key=1, maxiter=12, backend='pallas')[1]
     v_x = m.fit_vi_fused((x, y), key=1, maxiter=12, backend='xla')[1]
-    # f32 summation-order noise compounds over sweeps near convergence
-    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=5e-4)
+    # Root-caused (scripts/diag_hmix_ilr.py): per-sweep kernel error is
+    # ~1e-7 relative early and <=1.2e-4 near convergence (pure f32
+    # summation-order noise on a cancelling lse sum — the systematic
+    # hi/lo-split drift was eliminated by the 4-pass _dot_split_ff);
+    # coordinate ascent amplifies it chaotically across sweeps. So: tight
+    # tolerance on the pre-chaotic prefix, 8x margin over the measured
+    # worst case on the full trace.
+    np.testing.assert_allclose(np.asarray(v_p[:6]), np.asarray(v_x[:6]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-3)
     gs = m.fit_gibbs_fused((x, y), key=2, maxiter=8, backend='pallas')
     assert int(jnp.sum(gs.labels >= 0)) == n

@@ -197,6 +197,98 @@ def test_hmix_fused_gibbs_sharded_runs():
     assert l_major[1] > 950 and r_major[1] > 950
 
 
+def test_vi_pallas_sharded_equals_unsharded(data):
+    """The Mosaic kernel inside shard_map (interpret mode on the CPU
+    mesh): per-device pallas E-step + psum'd (K, m) accumulator must
+    match both the single-device kernel run and the XLA engine. N=4000
+    is NOT a multiple of 8*block, so the runtime valid-count masking of
+    each device's padded tail is exercised too."""
+    x = data[:4000].astype(jnp.float32)
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float32)
+    ref_state, ref_vlb = m.fit_vi_fused(x, key=1, maxiter=25,
+                                        backend='pallas')
+    xla_state, xla_vlb = m.fit_vi_fused(x, key=1, maxiter=25,
+                                        backend='xla')
+    xs = shard_data(mesh, x)
+    sh_state, sh_vlb = m.fit_vi_fused(xs, key=1, maxiter=25,
+                                      backend='pallas', mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(xla_vlb),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.components.mu),
+                               np.asarray(ref_state.components.mu),
+                               atol=1e-4)
+
+
+def test_gibbs_pallas_sharded_runs(data):
+    """The fused Gibbs sampler under shard_map (per-device streams; the
+    XLA fallback stands in for the on-core PRNG off-TPU): labels are
+    device-local, one-hot stats are psum'd and must be consistent with
+    the returned labels' cluster mass."""
+    x = data[:4000].astype(jnp.float32)
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float32)
+    xs = shard_data(mesh, x)
+    state = m.fit_gibbs_fused(xs, key=2, maxiter=40, backend='pallas',
+                              mesh=mesh)
+    counts = np.bincount(np.asarray(state.labels), minlength=8)
+    assert counts.sum() == 4000
+    assert np.sort(counts)[-4:].sum() > 0.8 * 4000
+    assert bool(jnp.all(jnp.isfinite(state.components.mu)))
+
+
+def test_ilr_pallas_sharded_equals_unsharded():
+    """Mixtures of linear experts (hi_lo_features kernel path) inside
+    shard_map match the single-device kernel and XLA runs."""
+    rng = np.random.default_rng(0)
+    n = 2000                                 # odd vs 8*block: masked tails
+    x = jnp.asarray(rng.uniform(-3, 3, (n, 1)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((n, 1)), jnp.float32)
+    mesh = make_mesh()
+    m = BayesianILR.make(size=8, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float32)
+    m.init_transform(x, y)
+    ref_vlb = m.fit_vi_fused((x, y), key=1, maxiter=10,
+                             backend='pallas')[1]
+    xys = shard_data(mesh, x), shard_data(mesh, y)
+    sh_vlb = m.fit_vi_fused(xys, key=1, maxiter=10, backend='pallas',
+                            mesh=mesh)[1]
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=5e-5)
+
+
+def test_hmix_pallas_sharded_equals_unsharded():
+    """Nested fused VI through the kernel (flat M*K rows) inside
+    shard_map matches the single-device kernel run."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    rng = np.random.default_rng(0)
+
+    def blob(c, n):
+        return c + 0.5 * rng.standard_normal((n, 2))
+
+    x = np.vstack([blob([-5, -5], 1000), blob([5, 5], 1000)])
+    x = jnp.asarray(x[rng.permutation(2000)], jnp.float32)
+    mesh = make_mesh()
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -5], [5, 5]],
+        dtype=jnp.float32)
+    ref_vlb = m.fit_vi_fused(x, key=0, maxiter=10, backend='pallas')[1]
+    xs = shard_data(mesh, x)
+    sh_vlb = m.fit_vi_fused(xs, key=0, maxiter=10, backend='pallas',
+                            mesh=mesh)[1]
+    np.testing.assert_allclose(np.asarray(sh_vlb), np.asarray(ref_vlb),
+                               rtol=2e-5)
+    gs = m.fit_gibbs_fused(xs, key=3, maxiter=10, backend='pallas',
+                           mesh=mesh)
+    assert np.asarray(gs.labels).shape == (2000,)
+
+
 def test_svi_sharded_runs_and_recovers(data):
     """Sharded SVI: per-device stratified minibatches + psum'd stats.
     Not bitwise-comparable to the unsharded run (different sampling), so
