@@ -137,11 +137,12 @@ def _assemble(features_t, xts, m8):
 def _estep_kernel2(masked, nx, features_t, split_f, *refs):
     """Two-dot E-step body; refs = (nv_ref, *x_refs, theta_ref, acc_ref,
     lse_ref). theta carries c + log_pi in column 0 against F's constant
-    row, so counts fall out of acc[:, 0]. nv_ref is an SMEM (1,) int32
+    row, so counts fall out of acc[:, 0]. nv_ref is an SMEM (1, 1) int32
     holding the valid-point count — a runtime value (not a compile-time
     constant) so the kernel can run per-device inside shard_map where the
-    local valid count depends on the device index; `masked` statically
-    gates the tail-masking code."""
+    local valid count depends on the device index, and rank-2 so vmapped
+    chains can batch it (Mosaic validates only the last two block dims);
+    `masked` statically gates the tail-masking code."""
     nv_ref = refs[0]
     x_refs = refs[1:1 + nx]
     theta_ref, acc_ref, lse_ref = refs[1 + nx:]
@@ -165,7 +166,7 @@ def _estep_kernel2(masked, nx, features_t, split_f, *refs):
         lse = mx + jnp.log(denom)
     else:
         col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-        mask = (col < nv_ref[0]).astype(jnp.float32)     # (1, B)
+        mask = (col < nv_ref[0, 0]).astype(jnp.float32)   # (1, B)
         ex = ex * mask
         denom = jnp.maximum(jnp.sum(ex, axis=0, keepdims=True),
                             jnp.float32(1e-37))
@@ -190,7 +191,9 @@ def _estep_pallas2(xts, theta, block_size, n_valid, features_t,
     assert n % block_size == 0
     grid = n // block_size
     masked = n_valid is not None
-    nv = jnp.reshape(jnp.asarray(n_valid if masked else n, jnp.int32), (1,))
+    # (1, 1): see pallas_gibbs - rank-2 SMEM scalars batch under vmap
+    nv = jnp.reshape(jnp.asarray(n_valid if masked else n, jnp.int32),
+                     (1, 1))
     acc, lse = pl.pallas_call(
         functools.partial(_estep_kernel2, masked, len(xts), features_t,
                           split_f),

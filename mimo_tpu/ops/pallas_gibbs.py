@@ -34,21 +34,25 @@ from mimo_tpu.ops.pallas_estep import (
 
 
 def _gibbs_kernel(masked, nx, features_t, split_f, *refs):
-    """refs = (seed_ref, *x_refs, theta_ref, lab_ref, acc_ref); seed_ref
-    is an SMEM (2,) int32 [seed, n_valid] — n_valid is a runtime value so
-    the kernel can run per-device inside shard_map where the local valid
-    count depends on the device index; `masked` statically gates the
-    tail-masking code."""
-    seed_ref = refs[0]
-    x_refs = refs[1:1 + nx]
-    theta_ref, lab_ref, acc_ref = refs[1 + nx:]
+    """refs = (seed_ref, nv_ref, *x_refs, theta_ref, lab_ref, acc_ref);
+    seed_ref / nv_ref are SMEM (1, 1) int32 scalars — runtime values (not
+    compile-time constants) so the kernel can run per-device inside
+    shard_map where the seed and local valid count depend on the device
+    index; `masked` statically gates the tail-masking code. Two separate
+    rank-2 refs rather than one (2,): vmap (chain batching) prepends a
+    batch axis to SMEM inputs, and Mosaic validates only the last two
+    block dims — rank-2 scalars batch cleanly where rank-1 are
+    rejected."""
+    seed_ref, nv_ref = refs[0], refs[1]
+    x_refs = refs[2:2 + nx]
+    theta_ref, lab_ref, acc_ref = refs[2 + nx:]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    pltpu.prng_seed(seed_ref[0], i)
+    pltpu.prng_seed(seed_ref[0, 0], i)
 
     xts = tuple(r[:] for r in x_refs)                # (d_i, B) each
     b = xts[0].shape[1]
@@ -77,7 +81,7 @@ def _gibbs_kernel(masked, nx, features_t, split_f, *refs):
         # zero-mask padded tail columns so they add nothing to the stats
         # (their labels are sliced off by the launcher)
         col = i * b + jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-        oh = oh * (col < seed_ref[1]).astype(jnp.float32)
+        oh = oh * (col < nv_ref[0, 0]).astype(jnp.float32)
 
     # the one-hot is exact in bf16; split F when the spec needs it
     acc_ref[:] += (_nt_split if split_f else _nt)(oh, f)   # (K, m8)
@@ -95,13 +99,18 @@ def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t,
     assert n % block_size == 0
     grid = n // block_size
     masked = n_valid is not None
-    smem = jnp.stack([jnp.asarray(seed, jnp.int32),
-                      jnp.asarray(n_valid if masked else n, jnp.int32)])
+    # (1, 1) not (1,): vmapped chains append a leading batch axis and
+    # Mosaic validates only the LAST TWO block dims, so rank-2 scalars
+    # batch cleanly where rank-1 ones are rejected
+    seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
+    nv_arr = jnp.reshape(jnp.asarray(n_valid if masked else n, jnp.int32),
+                         (1, 1))
     return pl.pallas_call(
         functools.partial(_gibbs_kernel, masked, len(xts), features_t,
                           split_f),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
         + _x_specs(xts, block_size) + [
             pl.BlockSpec((k, m8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -118,7 +127,7 @@ def _gibbs_pallas_core(seed, theta, xts, block_size, n_valid, features_t,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(smem, *xts, theta)
+    )(seed_arr, nv_arr, *xts, theta)
 
 
 def gibbs_labels_from_xt(seed, params_nat, xt, block_size: int = 32768,

@@ -64,3 +64,28 @@ def test_smc_gibbs_ilr_transform_consistency():
     lls = np.asarray(lls)
     assert np.isfinite(lls).all()
     assert lls[-1] > lls[0]
+
+@pytest.mark.slow
+def test_fit_chains_pallas_backend():
+    """Chains x kernels (round-2 VERDICT #7): vmapped restarts run
+    THROUGH the Mosaic kernels. vmap prepends a batch axis to every
+    kernel operand; the SMEM scalars are rank-2 (1, 1) precisely so
+    Mosaic's last-two-dims block validation accepts the batched refs
+    (see pallas_gibbs._gibbs_kernel). VI traces must match per-chain
+    serial fits; Gibbs chains must be finite and distinct."""
+    x = _gmm_data().astype(jnp.float32)
+    m = BayesianGMM.make(size=6, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    st, v = fit_chains(m, 'fit_vi_fused', x, keys, maxiter=15,
+                       backend='pallas')
+    for i, k in enumerate(keys):
+        _, vi = m.fit_vi_fused(x, key=k, maxiter=15, backend='pallas')
+        np.testing.assert_allclose(np.asarray(v)[i], np.asarray(vi),
+                                   rtol=2e-5)
+    gss = fit_chains(m, 'fit_gibbs_fused', x, keys, maxiter=5,
+                     backend='pallas')
+    lab = np.asarray(gss.labels)
+    assert lab.shape == (3, x.shape[0])
+    assert np.isfinite(np.asarray(gss.log_pi)).all()
+    assert len({tuple(lab[i, :40]) for i in range(3)}) == 3
