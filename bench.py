@@ -159,9 +159,10 @@ def main():
         ds = MmapDataset(path)
         rng_np = np.random.default_rng(0)
         bstream, steps_s = 65536, 100
-        batches = ds.minibatches(rng_np, bstream, steps_s)
+        # steps + 1: fit_svi_stream draws one extra batch for cold init
+        batches = ds.minibatches(rng_np, bstream, steps_s + 1)
         t0 = time.time()
-        model.fit_svi_stream(lambda i: jnp.asarray(next(batches)),
+        model.fit_svi_stream(lambda i: next(batches),
                              total_size=ds.shape[0], key=6,
                              maxiter=steps_s, step_size=0.5,
                              batch_size=bstream)

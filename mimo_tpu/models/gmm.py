@@ -76,14 +76,22 @@ class BayesianGMM(BayesianMixture):
 
     def _estep_spec(self):
         from mimo_tpu.ops.family_estep import (
-            gaussian_spec, diag_gaussian_spec, hier_gaussian_spec)
+            gaussian_spec, diag_gaussian_spec, hier_gaussian_spec,
+            GAUSS_SPLIT_F_DIM)
         if isinstance(self.components_prior, NIW):
-            return gaussian_spec()
-        if isinstance(self.components_prior, NG):
-            return diag_gaussian_spec()
-        if isinstance(self.components_prior, HierTied):
-            return hier_gaussian_spec()
-        return None
+            spec = gaussian_spec()
+            dim = self.components_prior.mu.shape[-1]
+        elif isinstance(self.components_prior, NG):
+            spec = diag_gaussian_spec()
+            dim = self.components_prior.mu.shape[-1]
+        elif isinstance(self.components_prior, HierTied):
+            spec = hier_gaussian_spec()
+            dim = self.components_prior.mus.shape[-1]
+        else:
+            return None
+        if dim >= GAUSS_SPLIT_F_DIM:
+            spec = spec._replace(hi_lo_features=True)
+        return spec
 
     # sampling synthetic data from the prior predictive of given params
     def sample(self, state, key=None, n=1, params='mode'):

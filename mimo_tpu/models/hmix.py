@@ -242,7 +242,8 @@ class BayesianMixtureOfMixtures:
         the generic fused machinery (family_estep) applies with the
         (M, K)-stacked posteriors/params flattened."""
         from mimo_tpu.ops.family_estep import (
-            EStepSpec, gaussian_spec, hier_gaussian_spec, ilr_spec)
+            EStepSpec, gaussian_spec, hier_gaussian_spec, ilr_spec,
+            GAUSS_SPLIT_F_DIM)
         from mimo_tpu.distributions.hierarchical import HierTied
         mm, kk = self.cluster_size, self.mixture_size
         cp = self.components_prior
@@ -251,8 +252,12 @@ class BayesianMixtureOfMixtures:
                             affine=self.affine)
         elif isinstance(cp, HierTied):
             base = hier_gaussian_spec()
+            if cp.mus.shape[-1] >= GAUSS_SPLIT_F_DIM:
+                base = base._replace(hi_lo_features=True)
         else:
             base = gaussian_spec()
+            if cp.mu.shape[-1] >= GAUSS_SPLIT_F_DIM:
+                base = base._replace(hi_lo_features=True)
         return EStepSpec(
             features=base.features,
             theta=lambda comps: jax.vmap(base.theta)(comps).reshape(

@@ -590,34 +590,45 @@ class BayesianMixture:
 
     def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
                        step_size=1e-2, batch_size=128, init_state=None,
-                       forgetting=None, delay=1.0):
+                       forgetting=None, delay=1.0, group=16):
         """Out-of-core SVI: the host supplies minibatches (e.g. from
-        io.MmapDataset over a file bigger than RAM/HBM); one jitted
-        natural-gradient step runs per batch.
+        io.MmapDataset over a file bigger than RAM/HBM); jitted
+        natural-gradient steps run per batch.
 
         `next_batch(i) -> array or tuple of arrays` with leading dim
         batch_size; `total_size` is N for the stochastic scale B/N.
         `forgetting`/`delay` enable the Robbins–Monro step schedule
-        (see fit_svi); since the step runs per host batch, rho_t is just
-        a host float here. Returns the final MFState."""
+        (see fit_svi). Returns the final MFState.
+
+        `group`: number of host batches stacked into ONE device call (a
+        lax.scan over the group). Each device call costs a dispatch
+        round-trip (~hundreds of ms through a tunneled TPU; still ~ms
+        locally) that dwarfs the math at reference batch sizes, so
+        per-batch dispatch ran at ~3 steps/s where the grouped stream
+        runs at ~group x that; group x batch_size x dim floats must fit
+        in host RAM + HBM (group=16 of B=65536 x d=2 f32 is 8 MB)."""
         key = _as_key(key)
         scale = batch_size / total_size
-        step_key = ('svi_stream',)
+        group = max(1, min(group, maxiter))
+        step_key = ('svi_stream', group)
         if step_key not in self._cache:
-            # scale/step_size are traced args, NOT closure captures: the
-            # jitted step is cached once per model and reused across calls
-            # with different total_size/batch_size
-            def one_step(state, batch, scale, step_size):
-                resp = self.expected_responsibilities(state, batch)
-                stats = self.family.suff_stats(batch, resp)
-                counts = jnp.sum(resp, axis=0)
-                return MFState(
-                    components=self.family.svi_blend(
-                        state.components, self.components_prior, stats,
-                        scale, step_size),
-                    gating=self.gating_prior.svi_blend(
-                        state.gating, counts, scale, step_size))
-            self._cache[step_key] = jax.jit(one_step)
+            # scale/rhos are traced args, NOT closure captures: the
+            # jitted step is cached once per model and reused across
+            # calls with different total_size/batch_size/schedule
+            def run_group(state, batches, scale, rhos):
+                def one_step(state, br):
+                    batch, rho = br
+                    resp = self.expected_responsibilities(state, batch)
+                    stats = self.family.suff_stats(batch, resp)
+                    counts = jnp.sum(resp, axis=0)
+                    return MFState(
+                        components=self.family.svi_blend(
+                            state.components, self.components_prior,
+                            stats, scale, rho),
+                        gating=self.gating_prior.svi_blend(
+                            state.gating, counts, scale, rho)), None
+                return jax.lax.scan(one_step, state, (batches, rhos))[0]
+            self._cache[step_key] = jax.jit(run_group)
         step_fn = self._cache[step_key]
 
         if init_state is None:
@@ -627,11 +638,24 @@ class BayesianMixture:
             state = self._mf_update(batch0, resp0)
         else:
             state = init_state
-        for i in range(maxiter):
-            batch = _as_tuple(next_batch(i))
-            rho = step_size if forgetting is None \
-                else step_size * (i + 1.0 + delay) ** -forgetting
-            state = step_fn(state, batch, scale, rho)
+
+        import numpy as _np
+        for g0 in range(0, maxiter, group):
+            g = min(group, maxiter - g0)
+            bs = [_as_tuple(next_batch(g0 + j)) for j in range(g)]
+            if g < group:        # ragged tail: repeat last, zero its rho
+                bs = bs + [bs[-1]] * (group - g)
+            stacked = tuple(jnp.asarray(_np.stack([_np.asarray(b[a])
+                                                   for b in bs]))
+                            for a in range(len(bs[0])))
+            if forgetting is None:
+                rhos = _np.full(group, step_size, _np.float32)
+            else:
+                t = _np.arange(g0, g0 + group, dtype=_np.float32)
+                rhos = (step_size * (t + 1.0 + delay) ** -forgetting
+                        ).astype(_np.float32)
+            rhos[g:] = 0.0       # padded tail steps are no-ops
+            state = step_fn(state, stacked, scale, jnp.asarray(rhos))
         return jax.block_until_ready(state)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------

@@ -60,9 +60,22 @@ class EStepSpec(NamedTuple):
     # the posterior noise precision grows past ~1/eps_bf16 of the yy
     # scale, single-pass bf16 rounding of the second-moment feature rows
     # destabilizes the fit (measured: nested ILR NaNs by sweep ~15 on
-    # TPU; split-F converges to the XLA trace). Gaussian-only families
-    # keep the cheaper single-pass F (scripts/precision_study.py).
+    # TPU; split-F converges to the XLA trace). Gaussian families keep
+    # the cheaper single-pass F at small d (scripts/precision_study.py,
+    # d=2/d=8 per-step parity ~1e-5) but hit the same cancellation at
+    # large d — the per-point logp error ~2^-9 sum_j |theta_j f_j| grows
+    # with d^2 terms of magnitude ~x^2·Lambda (measured d=32/K=256:
+    # 4-9%% per-step stats drift near convergence, NaN trajectories;
+    # split-F restores XLA tracking at ~0.6x the single-pass rate) —
+    # so the models flip this on for dim >= GAUSS_SPLIT_F_DIM.
     hi_lo_features: bool = False
+
+
+# Gaussian-family dimension at/above which the models request the F
+# hi/lo split (see EStepSpec.hi_lo_features): d=8 measured clean
+# single-pass, d=32 measured broken; the cut sits between the measured
+# endpoints.
+GAUSS_SPLIT_F_DIM = 16
 
 
 class FusedEStep(NamedTuple):

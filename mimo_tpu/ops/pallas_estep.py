@@ -171,7 +171,16 @@ def _estep_kernel2(masked, nx, features_t, split_f, *refs):
         denom = jnp.maximum(jnp.sum(ex, axis=0, keepdims=True),
                             jnp.float32(1e-37))
         lse = (mx + jnp.log(denom)) * mask
-    acc_ref[:] += (_nt_split if split_f else _nt)(ex, f / denom)  # (K, m8)
+    # normalize via one reciprocal row + a multiply on whichever operand
+    # has fewer rows: at d=2/K=50 that's f (m8=8), at d=32/K=256 it's ex
+    # (K=256 vs m8=1064) — a straight f/denom costs m8 x B VPU divides
+    # per block (1e9/iter at the fed d=32 shape)
+    r = 1.0 / denom                                      # (1, B)
+    nt = _nt_split if split_f else _nt
+    if ex.shape[0] <= f.shape[0]:
+        acc_ref[:] += nt(ex * r, f)                      # (K, m8)
+    else:
+        acc_ref[:] += nt(ex, f * r)
     lse_ref[:] += jnp.sum(lse).reshape(1, 1)
 
 

@@ -51,6 +51,25 @@ p = jax.nn.softmax(logp, axis=-1)
 e_counts = np.asarray(jnp.sum(p, axis=0), np.float64)          # (K,)
 v_counts = np.asarray(jnp.sum(p * (1 - p), axis=0), np.float64)
 
+# expectation under the KERNEL'S arithmetic: the Mosaic kernel computes
+# logp = bf16(theta_hi) @ bf16(F) + bf16(theta_lo) @ bf16(F) (DEFAULT
+# MXU passes with f32 accumulation, pallas_estep._dot_split). Emulating
+# that dot here separates "the sampler is biased" from "the sampler
+# exactly samples a ~1e-4-perturbed softmax" — only the latter is the
+# kernel's documented quantization contract.
+theta = spec.theta_plugin(params).astype(jnp.float32)
+theta = theta.at[:, 0].add(log_pi.astype(jnp.float32))
+th_hi = theta.astype(jnp.bfloat16)
+th_lo = (theta - th_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+f_b = feats.astype(jnp.float32).astype(jnp.bfloat16)
+logp_q = (jnp.dot(f_b, th_hi.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+          + jnp.dot(f_b, th_lo.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT))
+pq = jax.nn.softmax(logp_q, axis=-1)
+eq_counts = np.asarray(jnp.sum(pq, axis=0), np.float64)
+vq_counts = np.asarray(jnp.sum(pq * (1 - pq), axis=0), np.float64)
+
 block = 32768
 
 
@@ -76,9 +95,11 @@ cp = np.stack([np.asarray(pallas_counts(jnp.int32(2000 + s)))
                for s in range(S)]).astype(np.float64)
 
 sd = np.sqrt(np.maximum(v_counts, 1e-12))
+sdq = np.sqrt(np.maximum(vq_counts, 1e-12))
 live = e_counts > 5                      # z-scores meaningless for ~empty k
 zx = (cx.mean(0) - e_counts) / (sd / np.sqrt(S))
 zp = (cp.mean(0) - e_counts) / (sd / np.sqrt(S))
+zq = (cp.mean(0) - eq_counts) / (sdq / np.sqrt(S))
 zw = (cp.mean(0) - cx.mean(0)) / np.sqrt(cx.var(0) / S + cp.var(0) / S
                                          + 1e-12)
 
@@ -88,11 +109,18 @@ print(f'xla    vs exact: max |z| = {np.abs(zx[live]).max():.2f}, '
       f'mean |z| = {np.abs(zx[live]).mean():.2f}')
 print(f'pallas vs exact: max |z| = {np.abs(zp[live]).max():.2f}, '
       f'mean |z| = {np.abs(zp[live]).mean():.2f}')
+print(f'pallas vs kernel-arith expectation: max |z| = '
+      f'{np.abs(zq[live]).max():.2f}, mean |z| = '
+      f'{np.abs(zq[live]).mean():.2f}')
+print(f'quantization shift itself: max |dE|/sd = '
+      f'{np.abs((eq_counts - e_counts)[live] / sd[live]).max() * np.sqrt(S):.2f} '
+      f'sweep-mean sigmas at S={S}')
 print(f'pallas vs xla (Welch): max |z| = {np.abs(zw[live]).max():.2f}, '
       f'mean |z| = {np.abs(zw[live]).mean():.2f}')
 # aggregate chi^2 (sum z^2 over live comps ~ chi2(df); mean should be ~1)
 print(f'chi2/df: xla {np.mean(zx[live] ** 2):.2f}, '
-      f'pallas {np.mean(zp[live] ** 2):.2f} (expect ~1)')
+      f'pallas {np.mean(zp[live] ** 2):.2f}, '
+      f'pallas-vs-kernel-arith {np.mean(zq[live] ** 2):.2f} (expect ~1)')
 # empirical per-sweep variance should match the Bernoulli variance too
 rvx = cx.var(0)[live] / v_counts[live]
 rvp = cp.var(0)[live] / v_counts[live]

@@ -272,3 +272,38 @@ def test_hmix_ilr_backend_pallas_fit_matches_xla():
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-3)
     gs = m.fit_gibbs_fused((x, y), key=2, maxiter=8, backend='pallas')
     assert int(jnp.sum(gs.labels >= 0)) == n
+
+
+def test_gauss_split_f_dimension_gate():
+    """Large-d Gaussian mixtures must request the F hi/lo split: at d=32
+    the per-point bf16 logp error ~2^-9 sum|theta_j f_j| reached 4-9%
+    per-step stats drift near convergence and NaN'd trajectories on TPU
+    (round-3 analysis); d=8 measured clean single-pass. The spec flag
+    flips at GAUSS_SPLIT_F_DIM and the kernels' split path must stay
+    parity-exact (interpret mode)."""
+    from mimo_tpu.models.gmm import BayesianGMM
+    from mimo_tpu.ops.family_estep import (
+        GAUSS_SPLIT_F_DIM, fused_estep_blockwise)
+    from mimo_tpu.ops.pallas_estep import fused_estep_pallas
+
+    assert not BayesianGMM.make(size=4, dim=8)._estep_spec().hi_lo_features
+    assert BayesianGMM.make(size=4, dim=32)._estep_spec().hi_lo_features
+    assert not BayesianGMM.make(size=4, dim=8,
+                                diag=True)._estep_spec().hi_lo_features
+    assert BayesianGMM.make(size=4, dim=32,
+                            diag=True)._estep_spec().hi_lo_features
+
+    d = GAUSS_SPLIT_F_DIM
+    m = BayesianGMM.make(size=4, dim=d)
+    spec = m._estep_spec()
+    assert spec.hi_lo_features
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((512, d)), jnp.float32)
+    post = m.components_prior
+    log_pi = jnp.log(jnp.full((4,), 0.25, jnp.float32))
+    ref = fused_estep_blockwise(spec, post, log_pi, (x,), 256)
+    got = fused_estep_pallas(spec, post, log_pi, (x.T,), 256, None)
+    np.testing.assert_allclose(float(got.lse), float(ref.lse), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(got.stats), jax.tree.leaves(ref.stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
