@@ -157,16 +157,19 @@ def main():
     try:
         write_bin(path, np.asarray(x[:2_000_000], np.float32))
         ds = MmapDataset(path)
-        rng_np = np.random.default_rng(0)
         bstream, steps_s = 65536, 100
-        # steps + 1: fit_svi_stream draws one extra batch for cold init
-        batches = ds.minibatches(rng_np, bstream, steps_s + 1)
-        t0 = time.time()
-        model.fit_svi_stream(lambda i: next(batches),
-                             total_size=ds.shape[0], key=6,
-                             maxiter=steps_s, step_size=0.5,
-                             batch_size=bstream)
-        dt = time.time() - t0
+        dt = float('inf')
+        for rep in range(3):         # rep 0 pays the grouped-scan compile
+            rng_np = np.random.default_rng(rep)
+            # steps + 1: fit_svi_stream draws one extra init batch
+            batches = ds.minibatches(rng_np, bstream, steps_s + 1)
+            t0 = time.time()
+            model.fit_svi_stream(lambda i: next(batches),
+                                 total_size=ds.shape[0], key=6,
+                                 maxiter=steps_s, step_size=0.5,
+                                 batch_size=bstream)
+            if rep:
+                dt = min(dt, time.time() - t0)
         log(f'# [SVI-stream 2e6/B65536] {steps_s * bstream / dt / 1e6:.1f}M '
             f'pts/s ingested (C loader mmap -> host -> HBM -> nat-grad '
             f'step, {steps_s / dt:.0f} steps/s)')

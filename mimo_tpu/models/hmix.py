@@ -276,7 +276,10 @@ class BayesianMixtureOfMixtures:
         """Live VMEM row estimate for the Mosaic kernels' block-size cap
         (mixture.BayesianMixture._kernel_rows with K = M*K)."""
         m = jax.eval_shape(spec.theta, self.components_prior).shape[-1]
-        return -(-m // 8) * 8 + 4 * self.cluster_size * self.mixture_size
+        m8 = -(-m // 8) * 8
+        if getattr(spec, 'hi_lo_features', False):
+            m8 *= 2
+        return m8 + 4 * self.cluster_size * self.mixture_size
 
     def _split_flat(self, res):
         """Reshape a flat M*K FusedEStep back to (M, K)-stacked counts and

@@ -160,9 +160,13 @@ class BayesianMixture:
 
     def _kernel_rows(self, spec):
         """Live VMEM row estimate for the Mosaic kernels' block-size cap:
-        F is (m8, B), logp/exp/Gumbel/one-hot are (K, B)."""
+        F is (m8, B), logp/exp/Gumbel/one-hot are (K, B); split-F specs
+        keep hi+lo copies of F live (pallas_estep._dot_split_ff)."""
         m = jax.eval_shape(spec.theta, self.components_prior).shape[-1]
-        return -(-m // 8) * 8 + 4 * self.size
+        m8 = -(-m // 8) * 8
+        if getattr(spec, 'hi_lo_features', False):
+            m8 *= 2
+        return m8 + 4 * self.size
 
     def fit_vi_fused(self, data, key=None, maxiter=250, tol=None,
                      block_size=None, init_state=None, randomize=True,
