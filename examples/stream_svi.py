@@ -58,8 +58,10 @@ try:
     g = model.fit_gibbs(init_batch, key=args.seed, maxiter=20,
                         init_labels='random')
     init_state = MFState(g.components, g.gating)
+    # feed HOST arrays: the stream stacks `group` batches per device
+    # call, so per-batch device puts would just round-trip through host
     state = model.fit_svi_stream(
-        lambda i: jnp.asarray(ds.sample(rng, args.batch)),
+        lambda i: ds.sample(rng, args.batch),
         total_size=ds.shape[0], key=args.seed, maxiter=args.steps,
         step_size=args.step_size, batch_size=args.batch,
         init_state=init_state, forgetting=args.forgetting or None)

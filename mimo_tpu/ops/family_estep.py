@@ -72,9 +72,10 @@ class EStepSpec(NamedTuple):
 
 
 # Gaussian-family dimension at/above which the models request the F
-# hi/lo split (see EStepSpec.hi_lo_features): d=8 measured clean
-# single-pass, d=32 measured broken; the cut sits between the measured
-# endpoints.
+# hi/lo split (see EStepSpec.hi_lo_features). Measured on TPU
+# (BENCH_NOTES round 3): d=8/K=128 is stable single-pass over 300 VI
+# iters (tail rel 7.8e-5 vs XLA); d=16/K=128 single-pass NaNs by iter
+# 50 while split-F tracks XLA at 1.4e-4 — the cut is exactly here.
 GAUSS_SPLIT_F_DIM = 16
 
 
