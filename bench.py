@@ -138,6 +138,21 @@ def main():
         f"sw/s | Gibbs xla {r['gibbs_xla']:.1f} | predictive "
         f"{serve_rate/1e6:.1f}M pts/s | ELBO {r['elbo']:.4g}")
 
+    # ---- MAP-EM / ML-EM through the same kernels -------------------------
+    # (round 3: the plug-in E-steps ride the fused engines too, so all
+    # four reference engines scale to HBM-resident N)
+    dt, (st_map, ll_map) = best_of(
+        lambda: model.fit_map_fused(x, key=7, maxiter=50), reps=2)
+    assert bool(jnp.all(jnp.isfinite(ll_map)))
+    m_em = BayesianGMM.make(size=K, dim=D, gating='dp', alpha=1.0,
+                            kappa=0.05, psi_scale=0.5)
+    dte, (st_em, ll_em) = best_of(
+        lambda: m_em.fit_em_fused(x, key=7, maxiter=50), reps=2)
+    assert bool(jnp.all(jnp.isfinite(ll_em)))
+    log(f'# [MAP/EM 1e7/K50/d2] MAP fused {50 / dt:.1f} it/s | EM fused '
+        f'{50 / dte:.1f} it/s (plug-in softmax through the Mosaic '
+        f'kernels)')
+
     # ---- SVI: the scalable path (SURVEY.md §3.3) -------------------------
     # reference-default B=256 (evaluate_sine.py:46) and a TPU-sized batch
     for b in (256, 65536):

@@ -207,6 +207,17 @@ class BayesianILR(BayesianMixture):
         x, y = data
         return super().fit_gibbs_fused((self._tx(x), self._ty(y)), **kw)
 
+    def fit_em_fused(self, data, **kw):
+        """Fused blockwise likelihood-only EM (plug-in softmax E-step)."""
+        x, y = data
+        return super().fit_em_fused((self._tx(x), self._ty(y)), **kw)
+
+    def fit_map_fused(self, data, **kw):
+        """Fused blockwise MAP-EM (plug-in softmax at the posterior
+        mode)."""
+        x, y = data
+        return super().fit_map_fused((self._tx(x), self._ty(y)), **kw)
+
     # -- prediction (ilr.py:325-430) ----------------------------------------
 
     def predictive_weights(self, state: MFState, x, dist='studentt'):

@@ -445,6 +445,163 @@ class BayesianMixture:
 
         return fn(run, data, key)
 
+    def _fused_plugin_estep(self, spec, mesh, use_pallas, block_size):
+        """Dispatch closure for plug-in (EM/MAP) fused E-steps: the same
+        4-way engine routing as fit_vi_fused, but the log-density comes
+        from spec.theta_plugin(params) instead of the posterior-expected
+        spec.theta(post) — EM and MAP E-steps are plug-in softmaxes, so
+        they run on the identical kernels. Returns
+        estep(params, log_pi, data, xts, n, dtype) -> FusedEStep."""
+        from mimo_tpu.ops.family_estep import (
+            fused_estep_blockwise, fused_estep_sharded)
+        # the fused engines call spec.theta(post); rebind it to the
+        # plug-in map so `params` rides through every backend unchanged
+        pspec = spec._replace(theta=spec.theta_plugin)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import (
+                fused_estep_pallas, fused_estep_pallas_sharded)
+
+        def estep(params, log_pi, data, xts, n, dtype):
+            if use_pallas and mesh is not None:
+                res = fused_estep_pallas_sharded(
+                    pspec, params, log_pi, xts, block_size, n, mesh)
+                return jax.tree.map(lambda a: a.astype(dtype), res)
+            if use_pallas:
+                res = fused_estep_pallas(pspec, params, log_pi, xts,
+                                         block_size, n)
+                return jax.tree.map(lambda a: a.astype(dtype), res)
+            if mesh is None:
+                return fused_estep_blockwise(pspec, params, log_pi, data,
+                                             block_size)
+            return fused_estep_sharded(pspec, params, log_pi, data,
+                                       block_size, mesh)
+        return estep
+
+    def _fused_block_size(self, spec, n, mesh, use_pallas, block_size,
+                          alt_engine):
+        """Resolve the block size for a fused engine (shared logic of
+        fit_vi_fused / fit_gibbs_fused / fit_em_fused / fit_map_fused)."""
+        from mimo_tpu.ops.estep import pick_block_size
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import pick_pallas_block
+            if block_size is None:
+                local = n if mesh is None else -(-n // mesh.shape['data'])
+                block_size = pick_pallas_block(     # any N: pad + mask
+                    local, rows=self._kernel_rows(spec))
+        else:
+            local_n = n if mesh is None else n // mesh.shape['data']
+            if block_size is None:
+                block_size = pick_block_size(local_n)
+            if local_n % block_size:
+                raise ValueError(
+                    f'per-device N={local_n} must be a multiple of '
+                    f'block_size={block_size}; pass a block_size dividing '
+                    f'it (any divisor works for the XLA engine), or use '
+                    f'{alt_engine}')
+        return block_size
+
+    def fit_em_fused(self, data, key=None, maxiter=250, block_size=None,
+                     mesh=None, backend='auto'):
+        """fit_em through the fused blockwise engines: the EM E-step is a
+        plug-in softmax (reference gmm.py:67-75), i.e. exactly the fused
+        E-step kernel fed spec.theta_plugin(ml_params) — so EM scales to
+        HBM-resident N like VI/Gibbs (the N x K responsibilities exist
+        only inside the kernel; the anchor INIT still materializes one
+        (N, K) distance matrix + dense stats, a one-time cost shared with
+        the standard engines). mesh/backend as in fit_vi_fused. Returns
+        (EMState(params, log_pi), loglik trace)."""
+        if self.family.ml_update is None:
+            raise NotImplementedError(
+                'this family has no maximum-likelihood update; use '
+                'fit_map_fused')
+        spec = self._estep_spec()
+        if spec is None or spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused plug-in spec for this family; use fit_em')
+        data = _as_tuple(data)
+        key = _as_key(key)
+        n = data[0].shape[0]
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        block_size = self._fused_block_size(spec, n, mesh, use_pallas,
+                                            block_size, 'fit_em')
+        fn = self._jitted('em_fused', maxiter=maxiter,
+                          block_size=block_size, mesh=mesh,
+                          pallas=use_pallas)
+        estep = self._fused_plugin_estep(spec, mesh, use_pallas, block_size)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            dtype = data[0].dtype
+            xts = _pallas_xts(data, block_size, mesh) if use_pallas else None
+            # same random-anchor init as fit_em (k-means-style seeding)
+            x0 = data[0]
+            idx = jax.random.choice(key, n, (self.size,), replace=False)
+            anchors = x0[idx]
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+            d2 = jnp.sum((x0[:, None, :] - anchors[None, :, :]) ** 2, -1)
+            resp, _ = normalize_log(-0.5 * d2 / scale2)
+            counts = jnp.sum(resp, axis=0)
+            params = self.family.ml_update(self.family.suff_stats(data, resp))
+            log_pi = jnp.log(jnp.clip(counts, 1e-37, None) / n)
+
+            def step(carry, _):
+                params, log_pi = carry
+                res = estep(params, log_pi, data, xts, n, dtype)
+                params = self.family.ml_update(res.stats)
+                log_pi = jnp.log(jnp.clip(res.counts, 1e-37, None) / n)
+                return (params, log_pi), res.lse
+
+            (params, log_pi), trace = jax.lax.scan(
+                step, (params, log_pi), None, length=maxiter)
+            return EMState(params, log_pi), trace
+
+        return fn(run, data, key)
+
+    def fit_map_fused(self, data, key=None, maxiter=250, block_size=None,
+                      randomize=True, mesh=None, backend='auto'):
+        """fit_map through the fused blockwise engines: the MAP E-step is
+        a plug-in softmax at the posterior mode (reference gmm.py:176-204),
+        i.e. the fused E-step kernel fed spec.theta_plugin(mode_params) —
+        MAP-EM at HBM-resident N without the N x K responsibilities.
+        mesh/backend as in fit_vi_fused. Returns (MFState, loglik trace)."""
+        spec = self._estep_spec()
+        if spec is None or spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused plug-in spec for this family; use fit_map')
+        data = _as_tuple(data)
+        key = _as_key(key)
+        n = data[0].shape[0]
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        block_size = self._fused_block_size(spec, n, mesh, use_pallas,
+                                            block_size, 'fit_map')
+        fn = self._jitted('map_fused', maxiter=maxiter,
+                          block_size=block_size, randomize=randomize,
+                          mesh=mesh, pallas=use_pallas)
+        estep = self._fused_plugin_estep(spec, mesh, use_pallas, block_size)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            dtype = data[0].dtype
+            xts = _pallas_xts(data, block_size, mesh) if use_pallas else None
+            resp = _random_resp(key, n, self.size, dtype)
+            state = self._mf_update(data, resp)
+
+            def step(state, _):
+                params = self.family.mode_params(state.components)
+                log_pi = jnp.log(jnp.clip(state.gating.mode(), 1e-37,
+                                          None)).astype(dtype)
+                res = estep(params, log_pi, data, xts, n, dtype)
+                new = MFState(
+                    components=self.family.update(self.components_prior,
+                                                  res.stats),
+                    gating=self.gating_prior.update(res.counts))
+                return new, res.lse
+
+            state, trace = jax.lax.scan(step, state, None, length=maxiter)
+            return state, trace
+
+        return fn(run, data, key)
+
     def fit_vi(self, data, key=None, maxiter=250, tol=None, init_state=None,
                randomize=True, point_weights=None):
         """Mean-field coordinate ascent. Returns (MFState, vlb_trace).

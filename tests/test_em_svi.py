@@ -157,3 +157,76 @@ def test_em_tied_diag_ilr():
     assert ld.shape == (4, 1)
     np.testing.assert_allclose(ld[0], ld[1], rtol=1e-9)  # pooled
     assert np.isfinite(ld).all() and (ld > 0).all()
+
+
+def test_em_fused_matches_dense(gmm_data):
+    """fit_em_fused (plug-in softmax through the fused engines) must
+    reproduce fit_em's trajectory exactly: same anchor init, same ML
+    updates, the E-step merely streams through blocks."""
+    m = BayesianGMM.make(size=3, dim=2, dtype=jnp.float64)
+    st_d, ll_d = m.fit_em(gmm_data, key=0, maxiter=40)
+    m2 = BayesianGMM.make(size=3, dim=2, dtype=jnp.float64)
+    st_f, ll_f = m2.fit_em_fused(gmm_data, key=0, maxiter=40,
+                                 backend='xla', block_size=500)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_d),
+                               rtol=1e-9)
+    # params only loosely: the loglik plateau is flat along component-
+    # split directions, so f64-rounding-level E-step differences drift
+    # the params along it at equal loglik
+    np.testing.assert_allclose(np.asarray(st_f.params.mu),
+                               np.asarray(st_d.params.mu), atol=0.1)
+    np.testing.assert_allclose(np.asarray(st_f.log_pi),
+                               np.asarray(st_d.log_pi), atol=0.05)
+
+
+def test_map_fused_matches_dense(gmm_data):
+    m = BayesianGMM.make(size=4, dim=2, gating='dp', kappa=0.05,
+                         psi_scale=0.5, dtype=jnp.float64)
+    st_d, ll_d = m.fit_map(gmm_data, key=1, maxiter=40)
+    m2 = BayesianGMM.make(size=4, dim=2, gating='dp', kappa=0.05,
+                          psi_scale=0.5, dtype=jnp.float64)
+    st_f, ll_f = m2.fit_map_fused(gmm_data, key=1, maxiter=40,
+                                  backend='xla', block_size=500)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_d),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_f.components.mu),
+                               np.asarray(st_d.components.mu), rtol=1e-7)
+
+
+def test_em_map_fused_pallas_interpret(gmm_data):
+    """The kernel path (interpret mode off-TPU) stays finite and lands on
+    the same optimum as the dense engines (f32: exact trace equality is
+    not expected through the bf16-emulating interpreter)."""
+    x = gmm_data.astype(jnp.float32)
+    m = BayesianGMM.make(size=3, dim=2)
+    st, ll = m.fit_em_fused(x, key=0, maxiter=30, backend='pallas',
+                            block_size=512)
+    assert np.isfinite(np.asarray(ll)).all()
+    m2 = BayesianGMM.make(size=3, dim=2)
+    st_d, ll_d = m2.fit_em(x, key=0, maxiter=30)
+    np.testing.assert_allclose(float(ll[-1]), float(np.asarray(ll_d)[-1]),
+                               rtol=1e-4)
+    m3 = BayesianGMM.make(size=4, dim=2, gating='dp', kappa=0.05,
+                          psi_scale=0.5)
+    stm, llm = m3.fit_map_fused(x, key=1, maxiter=30, backend='pallas',
+                                block_size=512)
+    assert np.isfinite(np.asarray(llm)).all()
+
+
+def test_em_fused_ilr():
+    """Linear-expert families run the same plug-in fused EM."""
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.uniform(-3, 3, (2000, 1)), jnp.float64)
+    ys = jnp.asarray(np.sin(np.asarray(xs))
+                     + 0.1 * rng.standard_normal((2000, 1)), jnp.float64)
+    m = BayesianILR.make(size=8, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float64)
+    m.init_transform(xs, ys)
+    st_d, ll_d = m.fit_em((xs, ys), key=0, maxiter=30)
+    m2 = BayesianILR.make(size=8, input_dim=1, output_dim=1, alpha=2.0,
+                          kappa=0.05, dtype=jnp.float64)
+    m2.init_transform(xs, ys)
+    st_f, ll_f = m2.fit_em_fused((xs, ys), key=0, maxiter=30,
+                                 backend='xla', block_size=500)
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_d),
+                               rtol=1e-9)
