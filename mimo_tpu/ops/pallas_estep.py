@@ -85,14 +85,20 @@ def _split(a):
 
 def _dot_split(theta, f):
     """theta @ f with theta split into bf16 hi + lo parts: kills the
-    systematic per-component rounding (see module comment) at the cost of
-    one extra DEFAULT-precision pass; f is rounded to bf16 once per dot,
-    a random per-point perturbation."""
+    systematic per-component rounding (see module comment); f is rounded
+    to bf16 once, a random per-point perturbation.
+
+    The two passes are folded into ONE dot with stacked operands,
+    [hi lo] (K, 2m) @ [f; f] (2m, B): at the E-step's skinny contraction
+    depth (m8=8 at d=2) each separate pass fills ~6% of the systolic
+    array's depth, so doubling the contraction instead of issuing two
+    dots costs nothing on the MXU and halves the pass count (measured
+    on TPU: see BENCH_NOTES round 3)."""
     hi, lo = _split(theta)
-    return (jnp.dot(hi, f, precision=_DOT_PREC,
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(lo, f, precision=_DOT_PREC,
-                      preferred_element_type=jnp.float32))
+    th2 = jnp.concatenate([hi, lo], axis=1)          # (K, 2m)
+    f2 = jnp.concatenate([f, f], axis=0)             # (2m, B)
+    return jnp.dot(th2, f2, precision=_DOT_PREC,
+                   preferred_element_type=jnp.float32)
 
 
 def _dot_split_ff(theta, f):
@@ -112,8 +118,11 @@ def _dot_split_ff(theta, f):
     f_hi, f_lo = _split(f)
     d = functools.partial(jnp.dot, precision=_DOT_PREC,
                           preferred_element_type=jnp.float32)
-    return (d(th_hi, f_hi) + d(th_hi, f_lo) + d(th_lo, f_hi)
-            + d(th_lo, f_lo))
+    # fold the 4 passes into 2 stacked dots (see _dot_split): [hi lo]
+    # against [f_hi; f_hi] gives hh + lh, against [f_lo; f_lo] hl + ll
+    th2 = jnp.concatenate([th_hi, th_lo], axis=1)        # (K, 2m)
+    return (d(th2, jnp.concatenate([f_hi, f_hi], axis=0))
+            + d(th2, jnp.concatenate([f_lo, f_lo], axis=0)))
 
 
 def _nt_split(a, b):
