@@ -237,16 +237,20 @@ def _estep_pallas2(xts, theta, block_size, n_valid, features_t,
     return acc, lse
 
 
-def pick_pallas_block(n, target=65536, rows=None, budget=64 * 1024 * 1024):
+def pick_pallas_block(n, target=98304, rows=None, budget=64 * 1024 * 1024):
     """Block size for the padded kernels: ~target-sized blocks whose
     count covers n with at most 127 columns of padding per block (a
     flat min(target, ceil128(n)) wastes up to ~2x when n is just above
     target).
 
     `rows` caps the block by the kernel's live VMEM rows (F is (m8, B),
-    logp/ex/Gumbel are (K, B)): B <= budget / (4 rows). At d=2/K=50 this
-    leaves the 64k default; at d=32/K=256 (m8=1064) it pulls B down to
-    ~8k so the kernel stays inside VMEM instead of spilling."""
+    hi/lo split counts twice, logp/ex/Gumbel are (K, B)):
+    B <= budget / (4 rows). At d=2/K=50 the cap lands at B=77568 —
+    inside the measured 77k-131k throughput plateau (round-3 sweep:
+    337-341 VI it/s vs 325 at 65k; 262k regresses) — so `target` sits
+    above the cap for skinny shapes and the cap decides; at d=32/K=256
+    (m8=1064, split) it pulls B down to ~5k so the kernel stays inside
+    VMEM instead of spilling."""
     if rows is not None:
         cap = max(128, budget // (4 * rows) // 128 * 128)
         target = min(target, cap)
