@@ -306,3 +306,30 @@ def test_svi_sharded_runs_and_recovers(data):
     mu = np.asarray(st.components.mu)
     for c in centers:
         assert np.min(np.linalg.norm(mu - c, axis=-1)) < 0.5
+
+
+def test_map_em_fused_sharded_equals_unsharded(data):
+    """The plug-in fused engines (fit_map_fused / fit_em_fused, round 3)
+    take the same shard_map path as VI: psum'd stats must reproduce the
+    single-device run exactly (f64; only block summation order differs)."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    ref_state, ref_ll = m.fit_map_fused(data, key=1, maxiter=30,
+                                        block_size=512)
+    xs = shard_data(mesh, data)
+    sh_state, sh_ll = m.fit_map_fused(xs, key=1, maxiter=30,
+                                      block_size=512, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_ll), np.asarray(ref_ll),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sh_state.components.mu),
+                               np.asarray(ref_state.components.mu),
+                               rtol=1e-8)
+
+    m2 = BayesianGMM.make(size=6, dim=2, dtype=jnp.float64)
+    ref_em, ref_tr = m2.fit_em_fused(data, key=0, maxiter=30,
+                                     block_size=512)
+    sh_em, sh_tr = m2.fit_em_fused(xs, key=0, maxiter=30, block_size=512,
+                                   mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sh_tr), np.asarray(ref_tr),
+                               rtol=1e-8)
