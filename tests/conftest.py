@@ -45,6 +45,7 @@ _SLOW = {
     'test_chain_and_data_axes_together',
     'test_clip_guards_extreme_gating',
     'test_diag_noise_experts',
+    'test_em_map_fused_pallas_interpret',
     'test_expected_log_likelihood_monte_carlo',
     'test_fit_chains_cached_and_deterministic',
     'test_fit_with_checkpoints_resume',
@@ -80,6 +81,7 @@ _SLOW = {
     'test_ilr_tied_affine_and_hier_basis_fused',
     'test_iw_sampler_mean',
     'test_log_predictive_density',
+    'test_map_em_fused_sharded_equals_unsharded',
     'test_mixture_of_mixtures_gibbs_runs',
     'test_mixture_of_mixtures_ilr_predict',
     'test_mixture_of_mixtures_log_predictive',
