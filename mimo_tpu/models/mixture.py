@@ -932,14 +932,27 @@ class BayesianMixture:
         """log E_q[pi] — posterior-mean mixture weights (ilr.py:343)."""
         return jnp.log(jnp.clip(state.gating.mean(), 1e-37, None))
 
-    def log_predictive(self, state: MFState, data, dist='studentt'):
+    def log_predictive(self, state: MFState, data, dist='studentt',
+                       backend='auto'):
         """Posterior-predictive mixture log-density of full observations:
-        logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,)."""
+        logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,).
+
+        `backend`: 'auto' (default) routes full-covariance Gaussian
+        mixtures on TPU through the fused Mosaic serving kernel
+        (ops/pallas_predict.py) — the (N, K) Student-t matrix never
+        exists in HBM; 'xla' forces the dense path (the f32 oracle)."""
         data = _as_tuple(data)
+        log_w = self.predictive_log_weights(state)
+        from mimo_tpu.distributions.niw import NIW
+        if (backend == 'auto' and dist == 'studentt'
+                and isinstance(state.components, NIW)
+                and jax.default_backend() == 'tpu'):
+            from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
+            out = gauss_predictive_pallas(state.components, log_w, data[0])
+            return out.astype(data[0].dtype)
         lp = (self.family.log_predictive(state.components, data)
               if dist == 'studentt'
               else self.family.log_predictive_gaussian(state.components, data))
-        log_w = self.predictive_log_weights(state)
         return jax.scipy.special.logsumexp(lp + log_w[None, :], axis=-1)
 
     def used_labels(self, state: MFState, data, threshold=0):

@@ -307,3 +307,25 @@ def test_gauss_split_f_dimension_gate():
     for a, b in zip(jax.tree.leaves(got.stats), jax.tree.leaves(ref.stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_predictive_matches_dense(problem):
+    """Serving kernel (ops/pallas_predict.py): the fused Student-t
+    mixture log-density must match the dense XLA path per point
+    (interpret mode; the quad form runs both-operand hi/lo split)."""
+    from mimo_tpu.distributions.niw import log_predictive_studentt
+    from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
+    from jax.scipy.special import logsumexp
+
+    x, post, log_pi = problem
+    lp_dense = logsumexp(log_predictive_studentt(post, x)
+                         + log_pi[None, :], axis=-1)
+    lp_fused = gauss_predictive_pallas(post, log_pi, x, block_size=256)
+    np.testing.assert_allclose(np.asarray(lp_fused), np.asarray(lp_dense),
+                               rtol=1e-4, atol=1e-4)
+    # non-multiple N exercises the padded tail slice
+    lp_fused2 = gauss_predictive_pallas(post, log_pi, x[:1000],
+                                        block_size=256)
+    np.testing.assert_allclose(np.asarray(lp_fused2),
+                               np.asarray(lp_dense)[:1000],
+                               rtol=1e-4, atol=1e-4)
