@@ -944,11 +944,11 @@ class BayesianMixture:
         data = _as_tuple(data)
         log_w = self.predictive_log_weights(state)
         from mimo_tpu.distributions.niw import NIW
-        if (backend == 'auto' and dist == 'studentt'
-                and isinstance(state.components, NIW)
+        if (backend == 'auto' and isinstance(state.components, NIW)
                 and jax.default_backend() == 'tpu'):
             from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
-            out = gauss_predictive_pallas(state.components, log_w, data[0])
+            out = gauss_predictive_pallas(state.components, log_w, data[0],
+                                          dist=dist)
             return out.astype(data[0].dtype)
         lp = (self.family.log_predictive(state.components, data)
               if dist == 'studentt'

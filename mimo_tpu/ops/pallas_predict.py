@@ -36,10 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 from mimo_tpu.ops.pallas_estep import _assemble, _dot_split_ff
 
 
-def _predict_kernel(nx, features_t, *refs):
+def _predict_kernel(studentt, nx, features_t, *refs):
     """refs = (*x_refs, thq_ref, aux_ref, out_ref). aux_ref is (K, 8)
     with columns [aux + log_w, h, 1/df, 0...]; out_ref a (1, B) block of
-    the (1, N) per-point log-density row."""
+    the (1, N) per-point log-density row. `studentt` statically selects
+    the tail transform: -h log1p(q/df) (Student-t predictive) or -q/2
+    (moment-matched Gaussian, bayesian.py:303-312)."""
     x_refs = refs[:nx]
     thq_ref, aux_ref, out_ref = refs[nx:]
     xts = tuple(r[:] for r in x_refs)                  # (d_i, B) each
@@ -47,15 +49,19 @@ def _predict_kernel(nx, features_t, *refs):
     q = _dot_split_ff(thq_ref[:], f)                   # (K, B)
     q = jnp.maximum(q, 0.0)        # PSD form; clip rounding negatives
     aux = aux_ref[:, 0:1]                              # (K, 1)
-    h = aux_ref[:, 1:2]
-    invdf = aux_ref[:, 2:3]
-    lp = aux - h * jnp.log1p(q * invdf)                # (K, B)
+    if studentt:
+        h = aux_ref[:, 1:2]
+        invdf = aux_ref[:, 2:3]
+        lp = aux - h * jnp.log1p(q * invdf)            # (K, B)
+    else:
+        lp = aux - 0.5 * q
     mx = jnp.max(lp, axis=0, keepdims=True)
     out_ref[:] = mx + jnp.log(jnp.sum(jnp.exp(lp - mx), axis=0,
                                       keepdims=True))
 
 
-def _predict_pallas(thq, aux, xts, block_size, features_t):
+def _predict_pallas(thq, aux, xts, block_size, features_t,
+                    studentt=True):
     """pallas_call wrapper: xts pre-padded (d_i, N') arrays; thq (K, m8)
     f32 quad-form coefficients; aux (K, 8) f32 [aux+log_w, h, 1/df].
     Returns the (1, N') per-point mixture log-density (padded tail
@@ -65,7 +71,7 @@ def _predict_pallas(thq, aux, xts, block_size, features_t):
     assert n % block_size == 0
     grid = n // block_size
     return pl.pallas_call(
-        functools.partial(_predict_kernel, len(xts), features_t),
+        functools.partial(_predict_kernel, studentt, len(xts), features_t),
         grid=(grid,),
         in_specs=[pl.BlockSpec((xt.shape[0], block_size), lambda i: (0, i),
                                memory_space=pltpu.VMEM) for xt in xts]
@@ -82,7 +88,8 @@ def _predict_pallas(thq, aux, xts, block_size, features_t):
     )(*xts, thq, aux)
 
 
-def gauss_predictive_pallas(post, log_w, x, block_size=None):
+def gauss_predictive_pallas(post, log_w, x, block_size=None,
+                            dist='studentt'):
     """Fused Student-t mixture predictive for a full-covariance Gaussian
     mixture (NIW posterior): logsumexp_k [log_w_k + St(x; mu_k,
     Lmbda_k, df_k)] -> (N,). Matches
@@ -112,11 +119,18 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None):
     if m8 > m:
         thq = jnp.concatenate(
             [thq, jnp.zeros((k, m8 - m), jnp.float32)], axis=-1)
-    aux = (gammaln_diff(0.5 * df, 0.5 * d)
-           + 0.5 * logdet_psd(lmbda)
-           - 0.5 * d * (jnp.log(df) + jnp.log(jnp.pi))
-           + log_w)
-    cols = jnp.stack([aux, 0.5 * (df + d), 1.0 / df], axis=-1)
+    studentt = dist == 'studentt'
+    if studentt:
+        aux = (gammaln_diff(0.5 * df, 0.5 * d)
+               + 0.5 * logdet_psd(lmbda)
+               - 0.5 * d * (jnp.log(df) + jnp.log(jnp.pi))
+               + log_w)
+        cols = jnp.stack([aux, 0.5 * (df + d), 1.0 / df], axis=-1)
+    else:   # moment-matched Gaussian predictive (bayesian.py:303-312)
+        aux = (0.5 * logdet_psd(lmbda)
+               - 0.5 * d * jnp.log(2.0 * jnp.pi) + log_w)
+        cols = jnp.stack([aux, jnp.zeros_like(aux), jnp.zeros_like(aux)],
+                         axis=-1)
     aux8 = jnp.concatenate(
         [cols, jnp.zeros((k, 5), cols.dtype)], axis=-1).astype(jnp.float32)
 
@@ -127,5 +141,6 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None):
     xt = x.astype(jnp.float32).T
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    out = _predict_pallas(thq, aux8, (xt,), block_size, gauss_features_t)
+    out = _predict_pallas(thq, aux8, (xt,), block_size, gauss_features_t,
+                          studentt)
     return out[0, :n]

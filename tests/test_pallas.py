@@ -329,3 +329,17 @@ def test_fused_predictive_matches_dense(problem):
     np.testing.assert_allclose(np.asarray(lp_fused2),
                                np.asarray(lp_dense)[:1000],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_predictive_gaussian_matches_dense(problem):
+    from mimo_tpu.distributions.niw import log_predictive_gaussian
+    from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
+    from jax.scipy.special import logsumexp
+
+    x, post, log_pi = problem
+    lp_dense = logsumexp(log_predictive_gaussian(post, x)
+                         + log_pi[None, :], axis=-1)
+    lp_fused = gauss_predictive_pallas(post, log_pi, x, block_size=256,
+                                       dist='gaussian')
+    np.testing.assert_allclose(np.asarray(lp_fused), np.asarray(lp_dense),
+                               rtol=1e-4, atol=1e-4)
