@@ -282,15 +282,44 @@ class BayesianILR(BayesianMixture):
         return fn(models_post, xa, y)
 
     def predict(self, state: MFState, x, y=None, prediction='average',
-                dist='studentt', incremental=False):
+                dist='studentt', incremental=False, backend='auto'):
         """Posterior-predictive regression (ilr.py:374-430).
 
         Returns (mean, var_diag, std, nlpd) with nlpd None unless y given.
         Handles the optional standardization round-trip. `incremental`
         adds the input back onto the prediction (delta-dynamics models,
         ilr.py:411-413).
-        """
+
+        `backend`: 'auto' routes the flagship configuration (plain
+        full-MNW experts, p=1, studentt, average) through the fused
+        Mosaic serving kernel on TPU (ops/pallas_predict.py) — weights,
+        moment matching, and NLPD in one pass, no (N, K) intermediates;
+        'xla' forces the dense path."""
         xx = self._tx(x)
+        if (backend == 'auto' and jax.default_backend() == 'tpu'
+                and prediction == 'average' and dist == 'studentt'
+                and not (self.diag or self.tied_affine or self.hier_basis)
+                and self.output_dim == 1):
+            from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+            basis_post, models_post = state.components
+            yy = self._ty(y) if y is not None else None
+            mu1, var1, nlpd = ilr_predict_pallas(
+                basis_post, models_post,
+                self.predictive_log_weights(state), xx, yy, self.affine)
+            dtype = xx.dtype
+            mu = mu1[:, None].astype(dtype)
+            var = var1[:, None].astype(dtype)
+            if nlpd is not None:
+                nlpd = nlpd.astype(dtype)
+                if self.output_transform is not None:
+                    nlpd = nlpd + jnp.sum(
+                        jnp.log(self.output_transform.scale))
+            if self.output_transform is not None:
+                mu = self.output_transform.inverse_transform(mu)
+                var = var * jnp.square(self.output_transform.scale)
+            if incremental:
+                mu = mu + x[:, :mu.shape[-1]]
+            return mu, var, jnp.sqrt(var), nlpd
         weights = self.predictive_weights(state, xx, dist)
         mus, covars = self.predictive_moments(state, xx, dist)
 

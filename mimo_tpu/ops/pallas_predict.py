@@ -144,3 +144,171 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None,
     out = _predict_pallas(thq, aux8, (xt,), block_size, gauss_features_t,
                           studentt)
     return out[0, :n]
+
+
+# -- fused ILR serving: weights + moment-matched prediction + NLPD -----------
+
+def _ilr_predict_kernel(has_y, *refs):
+    """Fused ILR predict (p=1 experts). refs = (x_ref, [y_ref], th_ref,
+    aux_ref, out_ref); th_ref (3K, m8) rows = [basis-quad; c-quad;
+    expert-mean] coefficients over F = [1; x; x (x) x]; aux_ref (K, 8)
+    cols = [log_pi + basis_aux, basis_h, basis_1/df, var_coef, psi,
+    y_aux, y_h, 0]; out_ref (8, B) rows = [mean, var, nlpd, lse_w,
+    0...]. All expert-level per-point quantities are feature-linear or
+    quadratic in x (reference ilr.py:325-430 + bayesian.py:968-985), so
+    ONE hi/lo-split dot produces the basis quad forms, the c_n = 1 +
+    xt'K^-1 xt scale quads, and the expert means for every component."""
+    from mimo_tpu.ops.family_estep import gauss_features_t
+    x_ref = refs[0]
+    y_ref = refs[1] if has_y else None
+    th_ref, aux_ref, out_ref = refs[1 + has_y:]
+    k = aux_ref.shape[0]
+    f = _assemble(gauss_features_t, (x_ref[:],), th_ref.shape[1])
+    z = _dot_split_ff(th_ref[:], f)                    # (3K, B)
+    qb = jnp.maximum(z[:k], 0.0)                       # basis quad
+    cq = jnp.maximum(z[k:2 * k], 0.0)                  # c - 1 >= 0
+    mu = z[2 * k:]                                     # expert means
+    c = 1.0 + cq
+
+    lwc = aux_ref[:, 0:1]
+    bh = aux_ref[:, 1:2]
+    binvdf = aux_ref[:, 2:3]
+    vcoef = aux_ref[:, 3:4]
+    psi = aux_ref[:, 4:5]
+    y_aux = aux_ref[:, 5:6]
+    y_h = aux_ref[:, 6:7]
+
+    lw = lwc - bh * jnp.log1p(qb * binvdf)             # (K, B) unnorm
+    mx = jnp.max(lw, axis=0, keepdims=True)
+    ew = jnp.exp(lw - mx)
+    denom = jnp.sum(ew, axis=0, keepdims=True)
+    w = ew * (1.0 / denom)                             # (K, B)
+    lse_w = mx + jnp.log(denom)
+
+    mean = jnp.sum(w * mu, axis=0, keepdims=True)      # (1, B)
+    second = jnp.sum(w * (c * vcoef + mu * mu), axis=0, keepdims=True)
+    var = jnp.maximum(second - mean * mean, 0.0)
+
+    b = f.shape[1]
+    if has_y:
+        yc = y_ref[:] - mu                             # (K, B) via bcast
+        bq = psi * yc * yc
+        lp_y = (y_aux - 0.5 * jnp.log(c)
+                - y_h * jnp.log1p(bq * (1.0 / c)))     # (K, B)
+        s = lp_y + lw
+        mxs = jnp.max(s, axis=0, keepdims=True)
+        lse_s = mxs + jnp.log(jnp.sum(jnp.exp(s - mxs), axis=0,
+                                      keepdims=True))
+        nlpd = -(lse_s - lse_w)
+    else:
+        nlpd = jnp.zeros((1, b), jnp.float32)
+
+    out_ref[:] = jnp.concatenate(
+        [mean, var, nlpd, lse_w, jnp.zeros((4, b), jnp.float32)], axis=0)
+
+
+def ilr_predict_pallas(basis_post, mnw_post, log_pi, x, y=None,
+                       affine=True, block_size=None):
+    """Fused ILR posterior-predictive regression for scalar-output
+    (p=1) full-MNW experts with an NIW basis — the flagship serving
+    path (reference ilr.py:374-430): input-conditional Student-t expert
+    weights, moment-matched mixture mean/variance, and (with y) the
+    per-point negative log predictive density, all in one pass over
+    HBM-resident x. Everything is computed in STANDARDIZED space — the
+    model wrapper applies the output transform / Jacobian. Returns
+    (mean (N,), var (N,), nlpd (N,) | None)."""
+    from mimo_tpu.distributions.niw import predictive_studentt_params
+    from mimo_tpu.ops.pallas_estep import pick_pallas_block
+    from mimo_tpu.utils.linalg import inv_psd, logdet_psd
+    from mimo_tpu.utils.stats import gammaln_diff
+
+    n, d = x.shape
+    k = log_pi.shape[0]
+    m = 1 + d + d * d
+    m8 = -(-m // 8) * 8
+
+    # basis quad rows + constants (as gauss_predictive_pallas)
+    bmu, blm, bdf = predictive_studentt_params(basis_post)
+    blmu = jnp.einsum('kde,ke->kd', blm, bmu)
+    th_b = jnp.concatenate(
+        [jnp.einsum('kd,kd->k', bmu, blmu)[:, None], -2.0 * blmu,
+         blm.reshape(k, d * d)], axis=-1)
+    b_aux = (gammaln_diff(0.5 * bdf, 0.5 * d)
+             + 0.5 * logdet_psd(blm)
+             - 0.5 * d * (jnp.log(bdf) + jnp.log(jnp.pi)) + log_pi)
+
+    # c-quad rows: c = 1 + xt' K^-1 xt over xt = [x, 1(affine)]
+    g = inv_psd(mnw_post.K_)                            # (K, q, q)
+    if affine:
+        g11 = g[:, :d, :d]
+        g12 = g[:, :d, -1]
+        g22 = g[:, -1, -1]
+        th_c = jnp.concatenate(
+            [g22[:, None], 2.0 * g12, g11.reshape(k, d * d)], axis=-1)
+    else:
+        th_c = jnp.concatenate(
+            [jnp.zeros((k, 1), x.dtype), jnp.zeros((k, d), x.dtype),
+             g.reshape(k, d * d)], axis=-1)
+
+    # expert-mean rows: mu_k(x) = M1 x + m0 (p = 1)
+    M = mnw_post.M                                      # (K, 1, q)
+    assert M.shape[1] == 1, 'fused ILR predict supports p=1 experts'
+    m1 = M[:, 0, :d]
+    m0 = M[:, 0, -1] if affine else jnp.zeros((k,), x.dtype)
+    th_m = jnp.concatenate(
+        [m0[:, None], m1, jnp.zeros((k, d * d), x.dtype)], axis=-1)
+
+    th = jnp.concatenate([th_b, th_c, th_m], axis=0).astype(jnp.float32)
+    if m8 > m:
+        th = jnp.concatenate(
+            [th, jnp.zeros((3 * k, m8 - m), jnp.float32)], axis=-1)
+
+    # per-expert constants
+    ydf = mnw_post.nu - 1.0 + 1.0                       # pd = 1
+    psi = mnw_post.psi[:, 0, 0]
+    # cov = (c/df * df/(df-2)) * psi^-1 = c * psi^-1 / (df - 2)
+    vcoef = (1.0 / psi) / jnp.maximum(ydf - 2.0, 1e-6)
+    y_aux = (gammaln_diff(0.5 * ydf, 0.5)
+             + 0.5 * jnp.log(psi) - 0.5 * jnp.log(jnp.pi))
+    y_h = 0.5 * (ydf + 1.0)
+    aux8 = jnp.stack(
+        [b_aux, 0.5 * (bdf + d), 1.0 / bdf, vcoef, psi, y_aux, y_h,
+         jnp.zeros_like(psi)], axis=-1).astype(jnp.float32)
+
+    if block_size is None:
+        block_size = pick_pallas_block(n, rows=4 * m8 + 8 * k)
+    pad = (-n) % block_size
+    xt = x.astype(jnp.float32).T
+    if pad:
+        xt = jnp.pad(xt, ((0, 0), (0, pad)))
+    np_ = xt.shape[1]
+    has_y = y is not None
+    ins = [xt]
+    in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)]
+    if has_y:
+        yt = y.astype(jnp.float32).T                    # (1, N)
+        if pad:
+            yt = jnp.pad(yt, ((0, 0), (0, pad)))
+        ins.append(yt)
+        in_specs.append(pl.BlockSpec((1, block_size), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_ilr_predict_kernel, has_y),
+        grid=(np_ // block_size,),
+        in_specs=in_specs + [
+            pl.BlockSpec((3 * k, m8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, block_size), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != 'tpu',
+    )(*ins, th, aux8)
+    mean = out[0, :n]
+    var = out[1, :n]
+    nlpd = out[2, :n] if has_y else None
+    return mean, var, nlpd

@@ -343,3 +343,36 @@ def test_fused_predictive_gaussian_matches_dense(problem):
                                        dist='gaussian')
     np.testing.assert_allclose(np.asarray(lp_fused), np.asarray(lp_dense),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ilr_predict_matches_dense():
+    """Fused ILR serving kernel (interpret mode): mean/var/NLPD must
+    match the dense predict path per point for the flagship config
+    (plain full-MNW experts, p=1, studentt, average)."""
+    from mimo_tpu.models.ilr import BayesianILR
+    from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-6, 6, (1500, 1)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((1500, 1)), jnp.float32)
+    m = BayesianILR.make(size=12, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05)
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=1, maxiter=60)
+    mu_d, var_d, std_d, nlpd_d = m.predict(st, x, y, backend='xla')
+
+    basis_post, models_post = st.components
+    mu_f, var_f, nlpd_f = ilr_predict_pallas(
+        basis_post, models_post, m.predictive_log_weights(st),
+        m._tx(x), m._ty(y), m.affine, block_size=256)
+    # fused outputs are standardized-space; re-apply the transforms
+    mu_f = m.output_transform.inverse_transform(mu_f[:, None])
+    var_f = var_f[:, None] * jnp.square(m.output_transform.scale)
+    nlpd_f = nlpd_f + jnp.sum(jnp.log(m.output_transform.scale))
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nlpd_f), np.asarray(nlpd_d),
+                               rtol=1e-3, atol=2e-3)
