@@ -120,9 +120,13 @@ def main():
     r = bench_gmm(N, K, D, ITERS, backends=('auto', 'xla'))
     vi_rate = r['vi_auto']
 
-    # serving: posterior-predictive density over all N points
+    # serving: posterior-predictive density over all N points (10-deep
+    # pipelined calls — single dispatches through the tunnel pay ~26 ms
+    # RTT; see BENCH_NOTES). 'auto' = the fused Mosaic serving kernel.
     model, st, x = r['model'], r['state'], r['x']
     pred = jax.jit(model.log_predictive)
+    pred_x = jax.jit(lambda s, d: model.log_predictive(s, d,
+                                                       backend='xla'))
 
     def pred10():
         for _ in range(10):
@@ -131,12 +135,20 @@ def main():
     dt, _ = best_of(pred10, reps=3)
     serve_rate = 10 * N / dt
 
+    def pred10x():
+        for _ in range(10):
+            lp = pred_x(st, (x,))
+        return lp
+    dtx, _ = best_of(pred10x, reps=2)
+    serve_rate_x = 10 * N / dtx
+
     fl = gauss_flops(N, D, K)
     log(f'# [1e7/K50/d2] VI pallas {vi_rate:.1f} it/s ({fl*vi_rate/1e12:.2f} '
         f'TFLOP/s, {fl*vi_rate/1e10/PEAK_TFLOPS:.1f}% roofline) | '
         f"VI xla {r['vi_xla']:.1f} | Gibbs pallas {r['gibbs_auto']:.1f} "
         f"sw/s | Gibbs xla {r['gibbs_xla']:.1f} | predictive "
-        f"{serve_rate/1e6:.1f}M pts/s | ELBO {r['elbo']:.4g}")
+        f"{serve_rate/1e6:.1f}M pts/s (xla {serve_rate_x/1e6:.1f}M) | "
+        f"ELBO {r['elbo']:.4g}")
 
     # ---- MAP-EM / ML-EM through the same kernels -------------------------
     # (round 3: the plug-in E-steps ride the fused engines too, so all
@@ -264,6 +276,26 @@ def main():
     log(f'# [ILR 1e6/K50/q8] VI pallas {50 / dt:.1f} it/s | VI xla '
         f'{50 / dtx:.1f} | Gibbs pallas {50 / dtg:.1f} sw/s | Gibbs xla '
         f'{50 / dtgx:.1f} | ELBO {float(vlb_i[-1]):.4g}')
+
+    # ---- ILR serving (fused predict kernel; p=1 flagship config) ---------
+    ilr1 = BayesianILR.make(size=50, input_dim=1, output_dim=1, alpha=2.0,
+                            kappa=0.05)
+    n_s = 10_000_000
+    xs1 = jax.random.uniform(kg, (n_s, 1), minval=-6, maxval=6)
+    ys1 = jnp.sin(xs1) + 0.1 * jax.random.normal(
+        jax.random.fold_in(kg, 3), (n_s, 1))
+    ilr1.init_transform(xs1, ys1)
+    st1, _ = ilr1.fit_vi_fused((xs1, ys1), key=1, maxiter=20)
+    for tag, be in (('pallas', 'auto'), ('xla', 'xla')):
+        p1 = jax.jit(lambda s, b=be: ilr1.predict(s, xs1, ys1, backend=b))
+
+        def p10(p1=p1):
+            for _ in range(10):
+                o = p1(st1)
+            return o
+        dtp, _ = best_of(p10, reps=2)
+        log(f'# [ILR-serve 1e7/K50/q1 {tag}] {10 * n_s / dtp / 1e6:.0f}M '
+            f'pts/s (predict: weights + moments + NLPD)')
 
     # ---- nested mixture-of-mixtures (flat M*K kernel rows) ---------------
     from mimo_tpu.models.hmix import BayesianMixtureOfMixtures

@@ -933,22 +933,26 @@ class BayesianMixture:
         return jnp.log(jnp.clip(state.gating.mean(), 1e-37, None))
 
     def log_predictive(self, state: MFState, data, dist='studentt',
-                       backend='auto'):
+                       backend='auto', mesh=None):
         """Posterior-predictive mixture log-density of full observations:
         logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,).
 
         `backend`: 'auto' (default) routes full-covariance Gaussian
         mixtures on TPU through the fused Mosaic serving kernel
         (ops/pallas_predict.py) — the (N, K) Student-t matrix never
-        exists in HBM; 'xla' forces the dense path (the f32 oracle)."""
+        exists in HBM; 'xla' forces the dense path (the f32 oracle).
+        With `mesh` the kernel runs per-device under shard_map over the
+        'data' axis (no collective; the density row stays sharded) —
+        data-parallel serving. The dense path auto-shards under GSPMD
+        when the inputs carry a sharding."""
         data = _as_tuple(data)
         log_w = self.predictive_log_weights(state)
         from mimo_tpu.distributions.niw import NIW
         if (backend == 'auto' and isinstance(state.components, NIW)
-                and jax.default_backend() == 'tpu'):
+                and (jax.default_backend() == 'tpu' or mesh is not None)):
             from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
             out = gauss_predictive_pallas(state.components, log_w, data[0],
-                                          dist=dist)
+                                          dist=dist, mesh=mesh)
             return out.astype(data[0].dtype)
         lp = (self.family.log_predictive(state.components, data)
               if dist == 'studentt'

@@ -89,7 +89,7 @@ def _predict_pallas(thq, aux, xts, block_size, features_t,
 
 
 def gauss_predictive_pallas(post, log_w, x, block_size=None,
-                            dist='studentt'):
+                            dist='studentt', mesh=None):
     """Fused Student-t mixture predictive for a full-covariance Gaussian
     mixture (NIW posterior): logsumexp_k [log_w_k + St(x; mu_k,
     Lmbda_k, df_k)] -> (N,). Matches
@@ -135,6 +135,24 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None,
         [cols, jnp.zeros((k, 5), cols.dtype)], axis=-1).astype(jnp.float32)
 
     n = x.shape[0]
+    if mesh is not None:
+        # data-parallel serving: per-device kernel over the local column
+        # shard, NO collective — the (1, N) density row stays sharded
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_shards = mesh.shape['data']
+        if block_size is None:
+            block_size = pick_pallas_block(-(-n // n_shards),
+                                           rows=4 * m8 + 4 * k)
+        mult = block_size * n_shards
+        xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, (-n) % mult)))
+        xt = jax.lax.with_sharding_constraint(
+            xt, NamedSharding(mesh, P(None, 'data')))
+        out = jax.shard_map(
+            lambda th, a8, xl: _predict_pallas(th, a8, (xl,), block_size,
+                                               gauss_features_t, studentt),
+            mesh=mesh, in_specs=(P(), P(), P(None, 'data')),
+            out_specs=P(None, 'data'), check_vma=False)(thq, aux8, xt)
+        return out[0, :n]
     if block_size is None:
         block_size = pick_pallas_block(n, rows=4 * m8 + 4 * k)
     pad = (-n) % block_size

@@ -333,3 +333,17 @@ def test_map_em_fused_sharded_equals_unsharded(data):
                                    mesh=mesh)
     np.testing.assert_allclose(np.asarray(sh_tr), np.asarray(ref_tr),
                                rtol=1e-8)
+
+
+def test_log_predictive_sharded_kernel_equals_dense(data):
+    """Data-parallel serving: the predictive kernel under shard_map
+    (round 3) must match the dense replicated path per point."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    st, _ = m.fit_vi_fused(data, key=1, maxiter=20, block_size=512)
+    lp_dense = m.log_predictive(st, data, backend='xla')
+    lp_mesh = m.log_predictive(st, jax.device_put(data), mesh=mesh,
+                               backend='auto')
+    np.testing.assert_allclose(np.asarray(lp_mesh), np.asarray(lp_dense),
+                               rtol=1e-4, atol=1e-4)
