@@ -904,10 +904,25 @@ class BayesianMixtureOfMixtures:
             jax.vmap(lambda g: g.mean())(state.inner_gating), 1e-37, None))
         return log_out[:, None] + log_in
 
-    def log_predictive(self, state: HMixState, data, dist='studentt'):
+    def log_predictive(self, state: HMixState, data, dist='studentt',
+                       backend='auto', mesh=None):
         """Marginal posterior-predictive log density, (N,): logsumexp over
-        all (M, K) of mixture weights x component predictive."""
+        all (M, K) of mixture weights x component predictive.
+
+        `backend`/'mesh': as in BayesianMixture.log_predictive — nested
+        full-covariance Gaussian mixtures flatten the (M, K) posterior to
+        M*K components and ride the same fused serving kernel on TPU."""
         data = data if isinstance(data, tuple) else (data,)
+        from mimo_tpu.distributions.niw import NIW
+        if (backend == 'auto' and isinstance(state.components, NIW)
+                and (jax.default_backend() == 'tpu' or mesh is not None)):
+            from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
+            flat = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), state.components)
+            out = gauss_predictive_pallas(
+                flat, self._log_mix_weights(state).reshape(-1), data[0],
+                dist=dist, mesh=mesh)
+            return out.astype(data[0].dtype)
         fn = (self.family.log_predictive if dist == 'studentt'
               else self.family.log_predictive_gaussian)
         log_p = jax.vmap(lambda post: fn(post, data))(

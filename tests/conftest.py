@@ -50,6 +50,7 @@ _SLOW = {
     'test_fit_chains_cached_and_deterministic',
     'test_fit_with_checkpoints_resume',
     'test_fused_estep_matches_dense',
+    'test_fused_ilr_predict_matches_dense',
     'test_fused_estep_pallas_matches_blockwise',
     'test_fused_refit_different_n',
     'test_gibbs_fused_sharded_runs',
@@ -62,6 +63,7 @@ _SLOW = {
     'test_hier_svi_runs',
     'test_hier_vi_warm_monotone',
     'test_hmix_backend_pallas_fit_matches_xla',
+    'test_hmix_log_predictive_sharded_kernel_equals_dense',
     'test_hmix_fused_gibbs_gmm',
     'test_hmix_fused_gibbs_ilr',
     'test_hmix_fused_gibbs_sharded_runs',
@@ -81,6 +83,7 @@ _SLOW = {
     'test_ilr_tied_affine_and_hier_basis_fused',
     'test_iw_sampler_mean',
     'test_log_predictive_density',
+    'test_log_predictive_sharded_kernel_equals_dense',
     'test_map_em_fused_sharded_equals_unsharded',
     'test_mixture_of_mixtures_gibbs_runs',
     'test_mixture_of_mixtures_ilr_predict',

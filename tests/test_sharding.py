@@ -347,3 +347,23 @@ def test_log_predictive_sharded_kernel_equals_dense(data):
                                backend='auto')
     np.testing.assert_allclose(np.asarray(lp_mesh), np.asarray(lp_dense),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_hmix_log_predictive_sharded_kernel_equals_dense():
+    """Nested mixtures flatten (M, K) -> M*K and ride the same serving
+    kernel; sharded kernel == dense replicated."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    key = jax.random.PRNGKey(0)
+    x = jnp.concatenate([
+        jax.random.normal(key, (1024, 2)) * 0.7 + jnp.array([-5., -4.]),
+        jax.random.normal(jax.random.fold_in(key, 1), (1024, 2)) * 0.7
+        + jnp.array([5., 4.])]).astype(jnp.float64)
+    hm = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, dtype=jnp.float64)
+    st, _ = hm.fit_vi_fused(x, key=0, maxiter=20, block_size=512)
+    lp_dense = hm.log_predictive(st, x, backend='xla')
+    mesh = make_mesh()
+    lp_mesh = hm.log_predictive(st, x, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(lp_mesh), np.asarray(lp_dense),
+                               rtol=1e-4, atol=1e-4)
