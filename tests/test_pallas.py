@@ -376,3 +376,27 @@ def test_fused_ilr_predict_matches_dense():
                                rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nlpd_f), np.asarray(nlpd_d),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_fused_predictive_wide_dim():
+    """Serving kernel at a fed shape (d=8, K=32): parity holds where the
+    quad-form magnitudes are larger."""
+    from mimo_tpu.distributions.niw import NIW, log_predictive_studentt
+    from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
+    from jax.scipy.special import logsumexp
+
+    rng = np.random.default_rng(11)
+    n, k, d = 768, 32, 8
+    x = jnp.asarray(rng.standard_normal((n, d)) * 3, jnp.float32)
+    post = NIW(
+        mu=jnp.asarray(rng.standard_normal((k, d)) * 3, jnp.float32),
+        kappa=jnp.asarray(rng.uniform(1, 50, k), jnp.float32),
+        psi=jnp.broadcast_to(0.5 * jnp.eye(d), (k, d, d)).astype(jnp.float32),
+        nu=jnp.asarray(rng.uniform(d + 2, d + 40, k), jnp.float32),
+    )
+    log_w = jnp.log(jnp.full((k,), 1.0 / k, jnp.float32))
+    ref = logsumexp(log_predictive_studentt(post, x) + log_w[None, :],
+                    axis=-1)
+    got = gauss_predictive_pallas(post, log_w, x, block_size=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
