@@ -937,22 +937,28 @@ class BayesianMixture:
         """Posterior-predictive mixture log-density of full observations:
         logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,).
 
-        `backend`: 'auto' (default) routes full-covariance Gaussian
-        mixtures on TPU through the fused Mosaic serving kernel
-        (ops/pallas_predict.py) — the (N, K) Student-t matrix never
-        exists in HBM; 'xla' forces the dense path (the f32 oracle).
+        `backend`: 'auto' (default) routes full-covariance (NIW) and
+        diagonal (NG) Gaussian mixtures on TPU through the fused Mosaic
+        serving kernels (ops/pallas_predict.py) — the (N, K) Student-t
+        matrix never exists in HBM; 'xla' forces the dense path (the
+        f32 oracle).
         With `mesh` the kernel runs per-device under shard_map over the
         'data' axis (no collective; the density row stays sharded) —
         data-parallel serving. The dense path auto-shards under GSPMD
         when the inputs carry a sharding."""
         data = _as_tuple(data)
         log_w = self.predictive_log_weights(state)
+        from mimo_tpu.distributions.ng import NG
         from mimo_tpu.distributions.niw import NIW
-        if (backend == 'auto' and isinstance(state.components, NIW)
+        if (backend == 'auto' and isinstance(state.components, (NIW, NG))
                 and (jax.default_backend() == 'tpu' or mesh is not None)):
-            from mimo_tpu.ops.pallas_predict import gauss_predictive_pallas
-            out = gauss_predictive_pallas(state.components, log_w, data[0],
-                                          dist=dist, mesh=mesh)
+            from mimo_tpu.ops.pallas_predict import (
+                diag_predictive_pallas, gauss_predictive_pallas)
+            kern = (gauss_predictive_pallas
+                    if isinstance(state.components, NIW)
+                    else diag_predictive_pallas)
+            out = kern(state.components, log_w, data[0], dist=dist,
+                       mesh=mesh)
             return out.astype(data[0].dtype)
         lp = (self.family.log_predictive(state.components, data)
               if dist == 'studentt'

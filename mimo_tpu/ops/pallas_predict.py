@@ -164,6 +164,169 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None,
     return out[0, :n]
 
 
+# -- fused diag-Gaussian serving: product of per-dim Student-t's -------------
+
+def _diag_predict_kernel(k, *refs):
+    """Diag (NG) Student-t predictive: the joint density is a PRODUCT of
+    per-dimension univariate t's (ng.log_predictive_studentt,
+    reference composite.py:490-520 via gaussian.py:575-888), so the
+    log1p tail transform is per-(component, dim), not per-component.
+    refs = (x_ref, thu_ref, h_ref, aux_ref, out_ref); thu_ref (K*d, m8)
+    holds the scaled quad coefficients u_kj(x) = (lam_kj/df_kj)
+    (x_j - mu_kj)^2 over F = [1; x; x^2] (rows flattened (k, j)
+    row-major); h_ref (K*d, 8) col0 = 0.5 (df_kj + 1); aux_ref (K, 8)
+    col0 = per-component normalizer + log_w. The d-reduction is a
+    sublane regroup (K*d, B) -> (K, d, B) + sum — layout-free because
+    the lane (B) axis is untouched."""
+    x_ref, thu_ref, h_ref, aux_ref, out_ref = refs
+    from mimo_tpu.ops.family_estep import diag_gauss_features_t
+    f = _assemble(diag_gauss_features_t, (x_ref[:],), thu_ref.shape[1])
+    u = jnp.maximum(_dot_split_ff(thu_ref[:], f), 0.0)   # (K*d, B)
+    t = h_ref[:, 0:1] * jnp.log1p(u)                     # (K*d, B)
+    b = t.shape[1]
+    lp = aux_ref[:, 0:1] - jnp.sum(t.reshape(k, -1, b), axis=1)
+    mx = jnp.max(lp, axis=0, keepdims=True)
+    out_ref[:] = mx + jnp.log(jnp.sum(jnp.exp(lp - mx), axis=0,
+                                      keepdims=True))
+
+
+def _diag_predict_call(thu, h8, aux8, xt, block_size):
+    k = aux8.shape[0]
+    kd, m8 = thu.shape
+    n = xt.shape[1]
+    assert n % block_size == 0
+    return pl.pallas_call(
+        functools.partial(_diag_predict_kernel, k),
+        grid=(n // block_size,),
+        in_specs=[pl.BlockSpec((xt.shape[0], block_size), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((kd, m8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((kd, 8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, 8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, block_size), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != 'tpu',
+    )(xt, thu, h8, aux8)
+
+
+def diag_predictive_pallas(post, log_w, x, block_size=None,
+                           dist='studentt', mesh=None):
+    """Fused posterior-predictive mixture density for a DIAGONAL
+    Gaussian mixture (NG posterior): matches
+    logsumexp(ng.log_predictive_studentt(post, x) + log_w, -1) to
+    ~1e-5 per point. dist='gaussian' (the moment-matched plug-in,
+    bayesian.py:303-312 applied per dim) is fully feature-linear and
+    reuses the generic quad kernel over F = [1; x; x^2]. With `mesh`,
+    data-parallel serving under shard_map (no collective — the density
+    row stays sharded), as gauss_predictive_pallas."""
+    from mimo_tpu.distributions.ng import predictive_studentt_params
+    from mimo_tpu.ops.family_estep import diag_gauss_features_t
+    from mimo_tpu.ops.pallas_estep import pick_pallas_block
+    from mimo_tpu.utils.stats import LOG2PI, gammaln_diff
+
+    mu, lam, df = predictive_studentt_params(post)       # (K, d) each
+    k, d = mu.shape
+    m = 1 + 2 * d
+    m8 = -(-m // 8) * 8
+    n = x.shape[0]
+
+    if dist == 'gaussian':
+        # one row per component: q_k(x) = sum_j lam_kj (x_j - mu_kj)^2
+        thq = jnp.concatenate(
+            [jnp.sum(lam * mu * mu, -1)[:, None], -2.0 * lam * mu, lam],
+            axis=-1).astype(jnp.float32)
+        if m8 > m:
+            thq = jnp.concatenate(
+                [thq, jnp.zeros((k, m8 - m), jnp.float32)], axis=-1)
+        aux = (0.5 * jnp.sum(jnp.log(lam), -1) - 0.5 * d * LOG2PI
+               + log_w)
+        aux8 = jnp.concatenate(
+            [aux[:, None], jnp.zeros((k, 7), jnp.float32)],
+            axis=-1).astype(jnp.float32)
+        rows = 4 * m8 + 4 * k
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_shards = mesh.shape['data']
+            if block_size is None:
+                block_size = pick_pallas_block(-(-n // n_shards), rows=rows)
+            mult = block_size * n_shards
+            xt = jnp.pad(x.astype(jnp.float32).T,
+                         ((0, 0), (0, (-n) % mult)))
+            xt = jax.lax.with_sharding_constraint(
+                xt, NamedSharding(mesh, P(None, 'data')))
+            out = jax.shard_map(
+                lambda th, a8, xl: _predict_pallas(
+                    th, a8, (xl,), block_size, diag_gauss_features_t,
+                    False),
+                mesh=mesh, in_specs=(P(), P(), P(None, 'data')),
+                out_specs=P(None, 'data'), check_vma=False)(thq, aux8, xt)
+            return out[0, :n]
+        if block_size is None:
+            block_size = pick_pallas_block(n, rows=rows)
+        xt = jnp.pad(x.astype(jnp.float32).T,
+                     ((0, 0), (0, (-n) % block_size)))
+        out = _predict_pallas(thq, aux8, (xt,), block_size,
+                              diag_gauss_features_t, False)
+        return out[0, :n]
+
+    # Student-t: one row per (component, dim) scaled quad
+    r = (lam / df).astype(jnp.float32)
+    kd = k * d
+    eye = jnp.eye(d, dtype=jnp.float32)
+    thu = jnp.concatenate(
+        [(r * mu * mu).reshape(kd, 1),
+         ((-2.0 * r * mu)[:, :, None] * eye[None]).reshape(kd, d),
+         (r[:, :, None] * eye[None]).reshape(kd, d)],
+        axis=-1).astype(jnp.float32)
+    if m8 > m:
+        thu = jnp.concatenate(
+            [thu, jnp.zeros((kd, m8 - m), jnp.float32)], axis=-1)
+    h8 = jnp.concatenate(
+        [(0.5 * (df + 1.0)).reshape(kd, 1), jnp.zeros((kd, 7))],
+        axis=-1).astype(jnp.float32)
+    aux = (jnp.sum(gammaln_diff(0.5 * df, 0.5)
+                   + 0.5 * (jnp.log(lam) - jnp.log(df)
+                            - jnp.log(jnp.pi)), axis=-1) + log_w)
+    aux8 = jnp.concatenate(
+        [aux[:, None], jnp.zeros((k, 7), jnp.float32)],
+        axis=-1).astype(jnp.float32)
+
+    # VPU-bound (K*d log1p rows per point): measured flat at 515-525M
+    # pts/s for B in [5k, 25k] at K=50/d=2 and VMEM-OOM above ~40k —
+    # small blocks pipeline better, so target 16k instead of the
+    # MXU-kernels' 98k (round-3 sweep, BENCH_NOTES).
+    rows = 4 * m8 + 3 * kd + 2 * k
+    target = 16384
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_shards = mesh.shape['data']
+        if block_size is None:
+            block_size = pick_pallas_block(-(-n // n_shards),
+                                           target=target, rows=rows)
+        mult = block_size * n_shards
+        xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, (-n) % mult)))
+        xt = jax.lax.with_sharding_constraint(
+            xt, NamedSharding(mesh, P(None, 'data')))
+        out = jax.shard_map(
+            lambda th, hh, a8, xl: _diag_predict_call(th, hh, a8, xl,
+                                                      block_size),
+            mesh=mesh, in_specs=(P(), P(), P(), P(None, 'data')),
+            out_specs=P(None, 'data'), check_vma=False)(thu, h8, aux8, xt)
+        return out[0, :n]
+    if block_size is None:
+        block_size = pick_pallas_block(n, target=target, rows=rows)
+    xt = jnp.pad(x.astype(jnp.float32).T,
+                 ((0, 0), (0, (-n) % block_size)))
+    out = _diag_predict_call(thu, h8, aux8, xt, block_size)
+    return out[0, :n]
+
+
 # -- fused ILR serving: weights + moment-matched prediction + NLPD -----------
 
 def _ilr_predict_kernel(has_y, *refs):

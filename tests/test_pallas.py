@@ -345,6 +345,43 @@ def test_fused_predictive_gaussian_matches_dense(problem):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_diag_predictive_matches_dense():
+    """Diag (NG) serving kernel: the fused product-of-1d-t mixture
+    log-density must match the dense ng.log_predictive_studentt path
+    per point (interpret mode), both dists, plus a padded-tail slice."""
+    from mimo_tpu.distributions.ng import (
+        NG, log_predictive_gaussian, log_predictive_studentt)
+    from mimo_tpu.ops.pallas_predict import diag_predictive_pallas
+    from jax.scipy.special import logsumexp
+
+    rng = np.random.default_rng(3)
+    n, k, d = 1024, 6, 3
+    x = jnp.asarray(rng.standard_normal((n, d)) * 2, jnp.float32)
+    post = NG(
+        mu=jnp.asarray(rng.standard_normal((k, d)) * 2, jnp.float32),
+        kappa=jnp.asarray(rng.uniform(1, 20, (k, d)), jnp.float32),
+        alpha=jnp.asarray(rng.uniform(2, 40, (k, d)), jnp.float32),
+        beta=jnp.asarray(rng.uniform(0.5, 5, (k, d)), jnp.float32),
+    )
+    log_w = jnp.log(jnp.full((k,), 1.0 / k, jnp.float32))
+    ref_t = logsumexp(log_predictive_studentt(post, x) + log_w[None, :],
+                      axis=-1)
+    got_t = diag_predictive_pallas(post, log_w, x, block_size=256)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
+                               rtol=1e-4, atol=1e-4)
+    got_tail = diag_predictive_pallas(post, log_w, x[:1000],
+                                      block_size=256)
+    np.testing.assert_allclose(np.asarray(got_tail),
+                               np.asarray(ref_t)[:1000],
+                               rtol=1e-4, atol=1e-4)
+    ref_g = logsumexp(log_predictive_gaussian(post, x) + log_w[None, :],
+                      axis=-1)
+    got_g = diag_predictive_pallas(post, log_w, x, block_size=256,
+                                   dist='gaussian')
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_ilr_predict_matches_dense():
     """Fused ILR serving kernel (interpret mode): mean/var/NLPD must
     match the dense predict path per point for the flagship config

@@ -349,6 +349,22 @@ def test_log_predictive_sharded_kernel_equals_dense(data):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_diag_log_predictive_sharded_kernel_equals_dense(data):
+    """Diag (NG) serving kernel under shard_map == dense replicated,
+    both dists."""
+    mesh = make_mesh()
+    m = BayesianGMM.make(size=8, dim=2, diag=True, kappa=0.05,
+                         dtype=jnp.float64)
+    st, _ = m.fit_vi_fused(data, key=1, maxiter=20, block_size=512)
+    for dist in ('studentt', 'gaussian'):
+        lp_dense = m.log_predictive(st, data, dist=dist, backend='xla')
+        lp_mesh = m.log_predictive(st, jax.device_put(data), mesh=mesh,
+                                   dist=dist, backend='auto')
+        np.testing.assert_allclose(np.asarray(lp_mesh),
+                                   np.asarray(lp_dense),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_hmix_log_predictive_sharded_kernel_equals_dense():
     """Nested mixtures flatten (M, K) -> M*K and ride the same serving
     kernel; sharded kernel == dense replicated."""
