@@ -165,6 +165,28 @@ def main():
         f'{50 / dte:.1f} it/s (plug-in softmax through the Mosaic '
         f'kernels)')
 
+    # ---- diag (NG) family: fused training + serving ----------------------
+    # round 3: the diag predictive (product of per-dim Student-t's) rides
+    # its own serving kernel (ops/pallas_predict.diag_predictive_pallas)
+    m_diag = BayesianGMM.make(size=K, dim=D, diag=True, kappa=0.05)
+    dt, (st_d, vlb_d) = best_of(
+        lambda: m_diag.fit_vi_fused(x, key=1, maxiter=ITERS), reps=2)
+    assert bool(jnp.isfinite(vlb_d[-1]))
+    pred_d = jax.jit(m_diag.log_predictive)
+    pred_dx = jax.jit(lambda s, d: m_diag.log_predictive(s, d,
+                                                         backend='xla'))
+
+    def pred10d(fn):
+        def run():
+            for _ in range(10):
+                lp = fn(st_d, (x,))
+            return lp
+        return run
+    dts, _ = best_of(pred10d(pred_d), reps=3)
+    dtsx, _ = best_of(pred10d(pred_dx), reps=2)
+    log(f'# [diag 1e7/K50/d2] VI fused {ITERS / dt:.1f} it/s | predictive '
+        f'{10 * N / dts / 1e6:.1f}M pts/s (xla {10 * N / dtsx / 1e6:.1f}M)')
+
     # ---- SVI: the scalable path (SURVEY.md §3.3) -------------------------
     # reference-default B=256 (evaluate_sine.py:46) and a TPU-sized batch
     for b in (256, 65536):
