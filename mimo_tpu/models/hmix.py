@@ -970,16 +970,52 @@ class BayesianMixtureOfMixtures:
         return jnp.moveaxis(mus, 0, 1), jnp.moveaxis(covs, 0, 1)
 
     def predict(self, state: HMixState, x, y=None, prediction='average',
-                dist='gaussian', incremental=False):
+                dist='gaussian', incremental=False, backend='auto'):
         """Two-level posterior-predictive regression (hilr.py:573-609):
         mode picks the argmax over all M*K experts, average moment-matches
-        the full two-level mixture. Returns (mean, var, std, nlpd)."""
+        the full two-level mixture. Returns (mean, var, std, nlpd).
+
+        `backend`: 'auto' routes the flagship configuration (p=1,
+        studentt, average) through the fused ILR serving kernel on TPU
+        (ops/pallas_predict.py) with the (M, K) posterior flattened to
+        M*K experts — the two-level weight softmax is exactly the flat
+        softmax over log mix-weights + basis logpdf; 'xla' forces the
+        dense path."""
         if self.kind != 'ilr':
             raise ValueError('predict() is for make_ilr models; use '
                              'log_predictive for density models')
         from mimo_tpu.models.ilr import BayesianILR
         xx = x if self.input_transform is None \
             else self.input_transform.transform(x)
+        basis_post, models_post = state.components
+        if (backend == 'auto' and jax.default_backend() == 'tpu'
+                and prediction == 'average' and dist == 'studentt'
+                and models_post.M.shape[-2] == 1):
+            from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+            flat = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]),
+                (basis_post, models_post))
+            yy = None
+            if y is not None:
+                yy = y if self.output_transform is None \
+                    else self.output_transform.transform(y)
+            mu1, var1, nlpd = ilr_predict_pallas(
+                flat[0], flat[1], self._log_mix_weights(state).reshape(-1),
+                xx, yy, self.affine)
+            dtype = xx.dtype
+            mu = mu1[:, None].astype(dtype)
+            var = var1[:, None].astype(dtype)
+            if nlpd is not None:
+                nlpd = nlpd.astype(dtype)
+                if self.output_transform is not None:
+                    nlpd = nlpd + jnp.sum(
+                        jnp.log(self.output_transform.scale))
+            if self.output_transform is not None:
+                mu = self.output_transform.inverse_transform(mu)
+                var = var * jnp.square(self.output_transform.scale)
+            if incremental:
+                mu = mu + x[:, :mu.shape[-1]]
+            return mu, var, jnp.sqrt(var), nlpd
         n = x.shape[0]
         weights = self.predictive_weights(state, xx, dist)   # (N, M, K)
         mus, covs = self.predictive_moments(state, xx, dist)

@@ -415,6 +415,45 @@ def test_fused_ilr_predict_matches_dense():
                                rtol=1e-3, atol=2e-3)
 
 
+def test_fused_nested_ilr_predict_matches_dense():
+    """Nested ILR serving: flattening the (M, K) posterior to M*K
+    experts and running the flat ILR kernel must match the dense
+    two-level predict path (hilr.py:573-609) per point — the two-level
+    weight softmax IS the flat softmax over log mix-weights + basis
+    logpdf."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+    from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-3, 3, (1200, 1)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x) * 2)
+                    + 0.1 * rng.standard_normal((1200, 1)), jnp.float32)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=6, input_dim=1, output_dim=1,
+        kappa=0.05)
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=2, maxiter=40, maxsubiter=2)
+    mu_d, var_d, _, nlpd_d = m.predict(st, x, y, dist='studentt',
+                                       backend='xla')
+
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
+                        st.components)
+    xx = m.input_transform.transform(x)
+    yy = m.output_transform.transform(y)
+    mu_f, var_f, nlpd_f = ilr_predict_pallas(
+        flat[0], flat[1], m._log_mix_weights(st).reshape(-1),
+        xx, yy, m.affine, block_size=256)
+    mu_f = m.output_transform.inverse_transform(mu_f[:, None])
+    var_f = var_f[:, None] * jnp.square(m.output_transform.scale)
+    nlpd_f = nlpd_f + jnp.sum(jnp.log(m.output_transform.scale))
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nlpd_f), np.asarray(nlpd_d),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_fused_predictive_wide_dim():
     """Serving kernel at a fed shape (d=8, K=32): parity holds where the
     quad-form magnitudes are larger."""
