@@ -344,6 +344,27 @@ def main():
         f'{50 / dthx:.1f} | Gibbs pallas {50 / dthg:.1f} sw/s | Gibbs xla '
         f'{50 / dthgx:.1f}')
 
+    # ---- nested ILR serving (round 3: flatten (M, K) -> M*K and ride the
+    # flat ILR predict kernel) --------------------------------------------
+    hilr = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=6, input_dim=1, output_dim=1,
+        kappa=0.05)
+    hilr.init_transform(xs1[:200_000], ys1[:200_000])
+    hst_i, _ = hilr.fit_vi((xs1[:200_000], ys1[:200_000]), key=2,
+                           maxiter=30, maxsubiter=2)
+    for tag, be in (('pallas', 'auto'), ('xla', 'xla')):
+        ph = jax.jit(lambda s, b=be: hilr.predict(s, xs1, ys1,
+                                                  dist='studentt',
+                                                  backend=b)[0])
+
+        def ph10(ph=ph):
+            for _ in range(10):
+                o = ph(hst_i)
+            return o
+        dtp, _ = best_of(ph10, reps=2)
+        log(f'# [hilr-serve 1e7/M2xK6/q1 {tag}] {10 * n_s / dtp / 1e6:.0f}M '
+            f'pts/s (two-level predict: weights + moments + NLPD)')
+
     # ---- chain parallelism (vmapped restarts; the reference's 24-process
     # joblib pool at its own scale, evaluate_sinc_parallel.py) ------------
     from mimo_tpu.parallel.chains import fit_chains
