@@ -1,0 +1,34 @@
+"""Multi-host (multi-process) bring-up, actually executed.
+
+Spawns real OS processes that call `parallel.init_distributed` (JAX
+multi-process CPU), form a GLOBAL mesh, and run the four sharded
+production engines on process-sharded data; asserts equality against a
+1-process run over the same global mesh shape. See
+scripts/multihost_cpu.py for the full contract. The reference's only
+analogue is joblib over independent restarts
+(evaluate_sinc_parallel.py:120-132) with no cross-process reduction.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, 'scripts', 'multihost_cpu.py')
+
+
+@pytest.mark.slow
+def test_two_process_global_mesh_matches_single_process():
+    p = subprocess.run(
+        [sys.executable, SCRIPT, '--nprocs', '2', '--devices', '2',
+         '--timeout', '540'],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stdout + p.stderr
+    result = json.loads(p.stdout.strip().splitlines()[-1])
+    assert result['ok'] and result['failed'] == 0
+    assert result['global_devices'] == 4
+    assert set(result['engines']) == {'fit_vi_fused', 'fit_gibbs_fused',
+                                      'fit_svi', 'fit_map_fused'}
