@@ -353,13 +353,14 @@ def main():
     hst_i, _ = hilr.fit_vi((xs1[:200_000], ys1[:200_000]), key=2,
                            maxiter=30, maxsubiter=2)
     for tag, be in (('pallas', 'auto'), ('xla', 'xla')):
-        ph = jax.jit(lambda s, b=be: hilr.predict(s, xs1, ys1,
-                                                  dist='studentt',
-                                                  backend=b)[0])
+        # xs1/ys1 as jit ARGUMENTS, not closed-over trace constants
+        # (closing over N=1e7 arrays doubles transfers per backend tag)
+        ph = jax.jit(lambda s, xs, ys, b=be: hilr.predict(
+            s, xs, ys, dist='studentt', backend=b)[0])
 
         def ph10(ph=ph):
             for _ in range(10):
-                o = ph(hst_i)
+                o = ph(hst_i, xs1, ys1)
             return o
         dtp, _ = best_of(ph10, reps=2)
         log(f'# [hilr-serve 1e7/M2xK6/q1 {tag}] {10 * n_s / dtp / 1e6:.0f}M '

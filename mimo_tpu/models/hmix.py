@@ -975,22 +975,31 @@ class BayesianMixtureOfMixtures:
         mode picks the argmax over all M*K experts, average moment-matches
         the full two-level mixture. Returns (mean, var, std, nlpd).
 
-        `backend`: 'auto' routes the flagship configuration (p=1,
-        studentt, average) through the fused ILR serving kernel on TPU
+        `backend`: 'auto' routes p=1 studentt configurations ('average'
+        AND 'mode') through the fused ILR serving kernel on TPU
         (ops/pallas_predict.py) with the (M, K) posterior flattened to
         M*K experts — the two-level weight softmax is exactly the flat
         softmax over log mix-weights + basis logpdf; 'xla' forces the
-        dense path."""
+        dense path; 'pallas' REQUIRES the kernel path (raising when the
+        config can't ride it), running in interpret mode off-TPU so the
+        model-level glue is testable on CPU."""
         if self.kind != 'ilr':
             raise ValueError('predict() is for make_ilr models; use '
                              'log_predictive for density models')
+        if backend not in ('auto', 'xla', 'pallas'):
+            raise ValueError(f'unknown backend: {backend!r}')
         from mimo_tpu.models.ilr import BayesianILR
         xx = x if self.input_transform is None \
             else self.input_transform.transform(x)
         basis_post, models_post = state.components
-        if (backend == 'auto' and jax.default_backend() == 'tpu'
-                and prediction == 'average' and dist == 'studentt'
-                and models_post.M.shape[-2] == 1):
+        fused_ok = (dist == 'studentt' and models_post.M.shape[-2] == 1)
+        if backend == 'pallas' and not fused_ok:
+            raise NotImplementedError(
+                'fused serving needs studentt predictives and p=1 '
+                "outputs; use backend='xla' (dense) for this config")
+        if fused_ok and (backend == 'pallas' or
+                         (backend == 'auto'
+                          and jax.default_backend() == 'tpu')):
             from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
             flat = jax.tree.map(
                 lambda a: a.reshape((-1,) + a.shape[2:]),
@@ -1001,7 +1010,7 @@ class BayesianMixtureOfMixtures:
                     else self.output_transform.transform(y)
             mu1, var1, nlpd = ilr_predict_pallas(
                 flat[0], flat[1], self._log_mix_weights(state).reshape(-1),
-                xx, yy, self.affine)
+                xx, yy, self.affine, prediction=prediction)
             dtype = xx.dtype
             mu = mu1[:, None].astype(dtype)
             var = var1[:, None].astype(dtype)

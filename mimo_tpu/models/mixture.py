@@ -937,26 +937,40 @@ class BayesianMixture:
         """Posterior-predictive mixture log-density of full observations:
         logsumexp_k [log E[pi_k] + log pred_k(data)] -> (N,).
 
-        `backend`: 'auto' (default) routes full-covariance (NIW) and
-        diagonal (NG) Gaussian mixtures on TPU through the fused Mosaic
-        serving kernels (ops/pallas_predict.py) — the (N, K) Student-t
-        matrix never exists in HBM; 'xla' forces the dense path (the
-        f32 oracle).
+        `backend`: 'auto' (default) routes full-covariance (NIW),
+        diagonal (NG), and hierarchical (HierTied — same Student-t
+        surface with the shared hyper scale, bayesian.py:783-793)
+        Gaussian mixtures on TPU through the fused Mosaic serving
+        kernels (ops/pallas_predict.py) — the (N, K) Student-t matrix
+        never exists in HBM; 'xla' forces the dense path (the f32
+        oracle); 'pallas' REQUIRES the kernel path (raising for
+        families without one), running in interpret mode off-TPU so
+        it is testable on CPU.
         With `mesh` the kernel runs per-device under shard_map over the
         'data' axis (no collective; the density row stays sharded) —
         data-parallel serving. The dense path auto-shards under GSPMD
         when the inputs carry a sharding."""
+        if backend not in ('auto', 'xla', 'pallas'):
+            raise ValueError(f'unknown backend: {backend!r}')
         data = _as_tuple(data)
         log_w = self.predictive_log_weights(state)
+        from mimo_tpu.distributions.hierarchical import HierTied
         from mimo_tpu.distributions.ng import NG
         from mimo_tpu.distributions.niw import NIW
-        if (backend == 'auto' and isinstance(state.components, (NIW, NG))
-                and (jax.default_backend() == 'tpu' or mesh is not None)):
+        fused_ok = isinstance(state.components, (NIW, NG, HierTied))
+        if backend == 'pallas' and not fused_ok:
+            raise NotImplementedError(
+                'no fused serving kernel for this family; use '
+                "backend='xla'")
+        if fused_ok and (backend == 'pallas' or
+                         (backend == 'auto'
+                          and (jax.default_backend() == 'tpu'
+                               or mesh is not None))):
             from mimo_tpu.ops.pallas_predict import (
                 diag_predictive_pallas, gauss_predictive_pallas)
-            kern = (gauss_predictive_pallas
-                    if isinstance(state.components, NIW)
-                    else diag_predictive_pallas)
+            kern = (diag_predictive_pallas
+                    if isinstance(state.components, NG)
+                    else gauss_predictive_pallas)
             out = kern(state.components, log_w, data[0], dist=dist,
                        mesh=mesh)
             return out.astype(data[0].dtype)

@@ -94,7 +94,10 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None,
     mixture (NIW posterior): logsumexp_k [log_w_k + St(x; mu_k,
     Lmbda_k, df_k)] -> (N,). Matches
     logsumexp(niw.log_predictive_studentt(post, x) + log_w, -1)
-    (mvt_logpdf, utils/stats.py:70-86) to ~1e-5 per point.
+    (mvt_logpdf, utils/stats.py:70-86) to ~1e-5 per point. Also serves
+    hierarchical (HierTied) posteriors — their predictive is the same
+    Student-t with the shared hyper (nu-d+1) psi scale
+    (bayesian.py:783-793).
 
     The quad form is feature-linear over [1, x, x (x) x]:
       delta_k(x) = mu'Lmu_k - 2 (Lmu_k)'x + vec(Lmbda_k) . vec(x x')
@@ -102,13 +105,12 @@ def gauss_predictive_pallas(post, log_w, x, block_size=None,
     place of the softmax. Cited parity anchor:
     /root/reference/mimo/utils/stats.py:53-79 (stacked mvt logpdf) +
     mixtures' predictive weighting (gmm.py:105-144)."""
-    from mimo_tpu.distributions.niw import predictive_studentt_params
     from mimo_tpu.ops.family_estep import gauss_features_t
     from mimo_tpu.ops.pallas_estep import pick_pallas_block
     from mimo_tpu.utils.linalg import logdet_psd
     from mimo_tpu.utils.stats import gammaln_diff
 
-    mu, lmbda, df = predictive_studentt_params(post)
+    mu, lmbda, df = _basis_studentt_params(post, x.shape[1])
     k, d = mu.shape
     lmu = jnp.einsum('kde,ke->kd', lmbda, mu)
     thq = jnp.concatenate(
@@ -329,7 +331,7 @@ def diag_predictive_pallas(post, log_w, x, block_size=None,
 
 # -- fused ILR serving: weights + moment-matched prediction + NLPD -----------
 
-def _ilr_predict_kernel(has_y, *refs):
+def _ilr_predict_kernel(has_y, hard, *refs):
     """Fused ILR predict (p=1 experts). refs = (x_ref, [y_ref], th_ref,
     aux_ref, out_ref); th_ref (3K, m8) rows = [basis-quad; c-quad;
     expert-mean] coefficients over F = [1; x; x (x) x]; aux_ref (K, 8)
@@ -338,7 +340,11 @@ def _ilr_predict_kernel(has_y, *refs):
     0...]. All expert-level per-point quantities are feature-linear or
     quadratic in x (reference ilr.py:325-430 + bayesian.py:968-985), so
     ONE hi/lo-split dot produces the basis quad forms, the c_n = 1 +
-    xt'K^-1 xt scale quads, and the expert means for every component."""
+    xt'K^-1 xt scale quads, and the expert means for every component.
+    `hard` (prediction='mode', ilr.py:396-398) replaces the soft
+    moment-matching weights with the argmax one-hot — the same weighted
+    sums then yield exactly the selected expert's mean and c*vcoef
+    variance; the NLPD still uses the soft weights (ilr.py:405-409)."""
     from mimo_tpu.ops.family_estep import gauss_features_t
     x_ref = refs[0]
     y_ref = refs[1] if has_y else None
@@ -365,6 +371,9 @@ def _ilr_predict_kernel(has_y, *refs):
     denom = jnp.sum(ew, axis=0, keepdims=True)
     w = ew * (1.0 / denom)                             # (K, B)
     lse_w = mx + jnp.log(denom)
+    if hard:
+        wm = (lw >= mx).astype(lw.dtype)
+        w = wm * (1.0 / jnp.sum(wm, axis=0, keepdims=True))
 
     mean = jnp.sum(w * mu, axis=0, keepdims=True)      # (1, B)
     second = jnp.sum(w * (c * vcoef + mu * mu), axis=0, keepdims=True)
@@ -388,38 +397,43 @@ def _ilr_predict_kernel(has_y, *refs):
         [mean, var, nlpd, lse_w, jnp.zeros((4, b), jnp.float32)], axis=0)
 
 
-def ilr_predict_pallas(basis_post, mnw_post, log_pi, x, y=None,
-                       affine=True, block_size=None):
-    """Fused ILR posterior-predictive regression for scalar-output
-    (p=1) full-MNW experts with an NIW basis — the flagship serving
-    path (reference ilr.py:374-430): input-conditional Student-t expert
-    weights, moment-matched mixture mean/variance, and (with y) the
-    per-point negative log predictive density, all in one pass over
-    HBM-resident x. Everything is computed in STANDARDIZED space — the
-    model wrapper applies the output transform / Jacobian. Returns
-    (mean (N,), var (N,), nlpd (N,) | None)."""
+def _basis_studentt_params(basis_post, d):
+    """(mu, lmbda, df) of the per-component basis Student-t predictive:
+    NIW (niw.predictive_studentt_params, bayesian.py:314-323) or
+    HierTied (hierarchical.log_predictive_studentt: shared hyper
+    (nu-d+1) psi scale, bayesian.py:783-793)."""
+    from mimo_tpu.distributions.hierarchical import HierTied
     from mimo_tpu.distributions.niw import predictive_studentt_params
-    from mimo_tpu.ops.pallas_estep import pick_pallas_block
-    from mimo_tpu.utils.linalg import inv_psd, logdet_psd
+    if isinstance(basis_post, HierTied):
+        kk = basis_post.size
+        df = jnp.broadcast_to(basis_post.hyper.nu - d + 1.0, (kk,))
+        lm = jnp.broadcast_to(df[:, None, None] * basis_post.hyper.psi,
+                              (kk, d, d))
+        return basis_post.mus, lm, df
+    return predictive_studentt_params(basis_post)
+
+
+def _expert_rows(models_post, affine, d, k, dtype):
+    """Per-expert kernel rows + constants for p=1 experts of any
+    feature-linear flavor: full MNW (bayesian.py:895-912), tied-affine
+    via the block-diagonal MNW re-pack (bayesian.py:1388-1422,
+    affine.to_packed_mnw), or diagonal-noise MNG (bayesian.py:1006-1116)
+    whose univariate-t tail maps onto the same
+    `y_aux - 0.5 log c - y_h log1p(psi yc^2 / c)` form with
+    psi = 1/(2 beta), y_h = alpha + 1/2.
+    Returns (th_c, th_m, vcoef, psi_col, y_aux, y_h)."""
+    from mimo_tpu.distributions.affine import TiedAffine, to_packed_mnw
+    from mimo_tpu.distributions.mng import MNG
+    from mimo_tpu.utils.linalg import inv_psd
     from mimo_tpu.utils.stats import gammaln_diff
 
-    n, d = x.shape
-    k = log_pi.shape[0]
-    m = 1 + d + d * d
-    m8 = -(-m // 8) * 8
+    if isinstance(models_post, TiedAffine):
+        models_post = to_packed_mnw(models_post)
+        affine = True     # the packed offset column IS the affine part
 
-    # basis quad rows + constants (as gauss_predictive_pallas)
-    bmu, blm, bdf = predictive_studentt_params(basis_post)
-    blmu = jnp.einsum('kde,ke->kd', blm, bmu)
-    th_b = jnp.concatenate(
-        [jnp.einsum('kd,kd->k', bmu, blmu)[:, None], -2.0 * blmu,
-         blm.reshape(k, d * d)], axis=-1)
-    b_aux = (gammaln_diff(0.5 * bdf, 0.5 * d)
-             + 0.5 * logdet_psd(blm)
-             - 0.5 * d * (jnp.log(bdf) + jnp.log(jnp.pi)) + log_pi)
-
-    # c-quad rows: c = 1 + xt' K^-1 xt over xt = [x, 1(affine)]
-    g = inv_psd(mnw_post.K_)                            # (K, q, q)
+    # c-quad rows: c = 1 + xt' K^-1 xt over xt = [x, 1(affine)] — the
+    # input-dependent scale, identical for MNW and MNG experts
+    g = inv_psd(models_post.K_)                         # (K, q, q)
     if affine:
         g11 = g[:, :d, :d]
         g12 = g[:, :d, -1]
@@ -428,30 +442,78 @@ def ilr_predict_pallas(basis_post, mnw_post, log_pi, x, y=None,
             [g22[:, None], 2.0 * g12, g11.reshape(k, d * d)], axis=-1)
     else:
         th_c = jnp.concatenate(
-            [jnp.zeros((k, 1), x.dtype), jnp.zeros((k, d), x.dtype),
+            [jnp.zeros((k, 1), dtype), jnp.zeros((k, d), dtype),
              g.reshape(k, d * d)], axis=-1)
 
     # expert-mean rows: mu_k(x) = M1 x + m0 (p = 1)
-    M = mnw_post.M                                      # (K, 1, q)
+    M = models_post.M                                   # (K, 1, q)
     assert M.shape[1] == 1, 'fused ILR predict supports p=1 experts'
     m1 = M[:, 0, :d]
-    m0 = M[:, 0, -1] if affine else jnp.zeros((k,), x.dtype)
+    m0 = M[:, 0, -1] if affine else jnp.zeros((k,), dtype)
     th_m = jnp.concatenate(
-        [m0[:, None], m1, jnp.zeros((k, d * d), x.dtype)], axis=-1)
+        [m0[:, None], m1, jnp.zeros((k, d * d), dtype)], axis=-1)
+
+    if isinstance(models_post, MNG):
+        alpha = models_post.alpha[:, 0]
+        beta = models_post.beta[:, 0]
+        # t(y; mu, (alpha/beta)/c, 2 alpha): lam yc^2/df = yc^2/(2 beta c)
+        psi_col = 0.5 / beta
+        y_h = alpha + 0.5
+        y_aux = (gammaln_diff(alpha, 0.5)
+                 + 0.5 * (jnp.log(alpha) - jnp.log(beta))
+                 - 0.5 * (jnp.log(2.0 * alpha) + jnp.log(jnp.pi)))
+        # var = (beta c / alpha) * df/(df-2) = c * beta/(alpha-1)
+        vcoef = beta / jnp.maximum(alpha - 1.0, 1e-6)
+    else:
+        ydf = models_post.nu - 1.0 + 1.0                # pd = 1
+        psi_col = models_post.psi[:, 0, 0]
+        # cov = (c/df * df/(df-2)) * psi^-1 = c * psi^-1 / (df - 2)
+        vcoef = (1.0 / psi_col) / jnp.maximum(ydf - 2.0, 1e-6)
+        y_aux = (gammaln_diff(0.5 * ydf, 0.5)
+                 + 0.5 * jnp.log(psi_col) - 0.5 * jnp.log(jnp.pi))
+        y_h = 0.5 * (ydf + 1.0)
+    return th_c, th_m, vcoef, psi_col, y_aux, y_h
+
+
+def ilr_predict_pallas(basis_post, models_post, log_pi, x, y=None,
+                       affine=True, block_size=None, prediction='average'):
+    """Fused ILR posterior-predictive regression for scalar-output
+    (p=1) experts — the flagship serving path (reference ilr.py:374-430):
+    input-conditional Student-t expert weights, moment-matched mixture
+    mean/variance (or the argmax expert's, prediction='mode'), and
+    (with y) the per-point negative log predictive density, all in one
+    pass over HBM-resident x. Basis: NIW or HierTied (hierarchical);
+    experts: full MNW, tied-affine (re-packed), or diagonal MNG.
+    Everything is computed in STANDARDIZED space — the model wrapper
+    applies the output transform / Jacobian. Returns
+    (mean (N,), var (N,), nlpd (N,) | None)."""
+    from mimo_tpu.ops.pallas_estep import pick_pallas_block
+    from mimo_tpu.utils.linalg import logdet_psd
+    from mimo_tpu.utils.stats import gammaln_diff
+
+    n, d = x.shape
+    k = log_pi.shape[0]
+    m = 1 + d + d * d
+    m8 = -(-m // 8) * 8
+
+    # basis quad rows + constants (as gauss_predictive_pallas)
+    bmu, blm, bdf = _basis_studentt_params(basis_post, d)
+    blmu = jnp.einsum('kde,ke->kd', blm, bmu)
+    th_b = jnp.concatenate(
+        [jnp.einsum('kd,kd->k', bmu, blmu)[:, None], -2.0 * blmu,
+         blm.reshape(k, d * d)], axis=-1)
+    b_aux = (gammaln_diff(0.5 * bdf, 0.5 * d)
+             + 0.5 * logdet_psd(blm)
+             - 0.5 * d * (jnp.log(bdf) + jnp.log(jnp.pi)) + log_pi)
+
+    th_c, th_m, vcoef, psi, y_aux, y_h = _expert_rows(
+        models_post, affine, d, k, x.dtype)
 
     th = jnp.concatenate([th_b, th_c, th_m], axis=0).astype(jnp.float32)
     if m8 > m:
         th = jnp.concatenate(
             [th, jnp.zeros((3 * k, m8 - m), jnp.float32)], axis=-1)
 
-    # per-expert constants
-    ydf = mnw_post.nu - 1.0 + 1.0                       # pd = 1
-    psi = mnw_post.psi[:, 0, 0]
-    # cov = (c/df * df/(df-2)) * psi^-1 = c * psi^-1 / (df - 2)
-    vcoef = (1.0 / psi) / jnp.maximum(ydf - 2.0, 1e-6)
-    y_aux = (gammaln_diff(0.5 * ydf, 0.5)
-             + 0.5 * jnp.log(psi) - 0.5 * jnp.log(jnp.pi))
-    y_h = 0.5 * (ydf + 1.0)
     aux8 = jnp.stack(
         [b_aux, 0.5 * (bdf + d), 1.0 / bdf, vcoef, psi, y_aux, y_h,
          jnp.zeros_like(psi)], axis=-1).astype(jnp.float32)
@@ -475,7 +537,8 @@ def ilr_predict_pallas(basis_post, mnw_post, log_pi, x, y=None,
         in_specs.append(pl.BlockSpec((1, block_size), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        functools.partial(_ilr_predict_kernel, has_y),
+        functools.partial(_ilr_predict_kernel, has_y,
+                          prediction == 'mode'),
         grid=(np_ // block_size,),
         in_specs=in_specs + [
             pl.BlockSpec((3 * k, m8), lambda i: (0, 0),

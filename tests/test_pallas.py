@@ -382,31 +382,32 @@ def test_fused_diag_predictive_matches_dense():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_fused_ilr_predict_matches_dense():
-    """Fused ILR serving kernel (interpret mode): mean/var/NLPD must
-    match the dense predict path per point for the flagship config
-    (plain full-MNW experts, p=1, studentt, average)."""
+@pytest.mark.parametrize('cfg', ['plain', 'plain-mode', 'diag', 'tied',
+                                 'hier'])
+def test_fused_ilr_predict_matches_dense(cfg):
+    """Fused ILR serving via the MODEL's own routing
+    (m.predict(backend='pallas'), interpret mode on CPU): mean/var/NLPD
+    must match the dense predict path per point for every p=1 studentt
+    config — plain full-MNW experts ('average' AND 'mode'), diag-noise
+    MNG experts, tied-affine experts (block-diagonal MNW re-pack), and
+    the hierarchical basis."""
     from mimo_tpu.models.ilr import BayesianILR
-    from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
 
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(-6, 6, (1500, 1)), jnp.float32)
     y = jnp.asarray(np.sin(np.asarray(x))
                     + 0.1 * rng.standard_normal((1500, 1)), jnp.float32)
+    kw = dict(diag=(cfg == 'diag'), tied_affine=(cfg == 'tied'),
+              hier_basis=(cfg == 'hier'))
     m = BayesianILR.make(size=12, input_dim=1, output_dim=1, alpha=2.0,
-                         kappa=0.05)
+                         kappa=0.05, **kw)
     m.init_transform(x, y)
-    st, _ = m.fit_vi((x, y), key=1, maxiter=60)
-    mu_d, var_d, std_d, nlpd_d = m.predict(st, x, y, backend='xla')
-
-    basis_post, models_post = st.components
-    mu_f, var_f, nlpd_f = ilr_predict_pallas(
-        basis_post, models_post, m.predictive_log_weights(st),
-        m._tx(x), m._ty(y), m.affine, block_size=256)
-    # fused outputs are standardized-space; re-apply the transforms
-    mu_f = m.output_transform.inverse_transform(mu_f[:, None])
-    var_f = var_f[:, None] * jnp.square(m.output_transform.scale)
-    nlpd_f = nlpd_f + jnp.sum(jnp.log(m.output_transform.scale))
+    st, _ = m.fit_vi((x, y), key=1, maxiter=40)
+    prediction = 'mode' if cfg == 'plain-mode' else 'average'
+    mu_d, var_d, std_d, nlpd_d = m.predict(st, x, y, backend='xla',
+                                           prediction=prediction)
+    mu_f, var_f, std_f, nlpd_f = m.predict(st, x, y, backend='pallas',
+                                           prediction=prediction)
     np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
@@ -415,14 +416,36 @@ def test_fused_ilr_predict_matches_dense():
                                rtol=1e-3, atol=2e-3)
 
 
-def test_fused_nested_ilr_predict_matches_dense():
-    """Nested ILR serving: flattening the (M, K) posterior to M*K
-    experts and running the flat ILR kernel must match the dense
+def test_fused_ilr_predict_backend_validation():
+    """predict() rejects unknown backends, and backend='pallas' raises
+    with an actionable message for configs the kernel can't serve
+    (p>1, gaussian predictives) instead of silently serving dense."""
+    from mimo_tpu.models.ilr import BayesianILR
+    x = jnp.zeros((8, 1), jnp.float32)
+    m1 = BayesianILR.make(size=3, input_dim=1, output_dim=1)
+    st1 = m1._mf_update((x, jnp.zeros((8, 1), jnp.float32)),
+                        jnp.full((8, 3), 1.0 / 3, jnp.float32))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='backend'):
+        m1.predict(st1, x, backend='cuda')
+    with _pytest.raises(NotImplementedError, match='dense'):
+        m1.predict(st1, x, dist='gaussian', backend='pallas')
+    m2 = BayesianILR.make(size=3, input_dim=1, output_dim=2)
+    st2 = m2._mf_update((x, jnp.zeros((8, 2), jnp.float32)),
+                        jnp.full((8, 3), 1.0 / 3, jnp.float32))
+    with _pytest.raises(NotImplementedError, match='dense'):
+        m2.predict(st2, x, backend='pallas')
+
+
+@pytest.mark.parametrize('prediction', ['average', 'mode'])
+def test_fused_nested_ilr_predict_matches_dense(prediction):
+    """Nested ILR serving via the MODEL's own routing
+    (m.predict(backend='pallas')): flattening the (M, K) posterior to
+    M*K experts and running the flat ILR kernel must match the dense
     two-level predict path (hilr.py:573-609) per point — the two-level
     weight softmax IS the flat softmax over log mix-weights + basis
     logpdf."""
     from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
-    from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
 
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.uniform(-3, 3, (1200, 1)), jnp.float32)
@@ -434,24 +457,36 @@ def test_fused_nested_ilr_predict_matches_dense():
     m.init_transform(x, y)
     st, _ = m.fit_vi((x, y), key=2, maxiter=40, maxsubiter=2)
     mu_d, var_d, _, nlpd_d = m.predict(st, x, y, dist='studentt',
-                                       backend='xla')
-
-    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
-                        st.components)
-    xx = m.input_transform.transform(x)
-    yy = m.output_transform.transform(y)
-    mu_f, var_f, nlpd_f = ilr_predict_pallas(
-        flat[0], flat[1], m._log_mix_weights(st).reshape(-1),
-        xx, yy, m.affine, block_size=256)
-    mu_f = m.output_transform.inverse_transform(mu_f[:, None])
-    var_f = var_f[:, None] * jnp.square(m.output_transform.scale)
-    nlpd_f = nlpd_f + jnp.sum(jnp.log(m.output_transform.scale))
+                                       backend='xla',
+                                       prediction=prediction)
+    mu_f, var_f, _, nlpd_f = m.predict(st, x, y, dist='studentt',
+                                       backend='pallas',
+                                       prediction=prediction)
     np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
                                rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nlpd_f), np.asarray(nlpd_d),
                                rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize('dist', ['studentt', 'gaussian'])
+def test_fused_hier_predictive_matches_dense(dist):
+    """HierTied (hierarchical NIW) mixture density serving: the fused
+    kernel via log_predictive(backend='pallas') must match the dense
+    hierarchical predictive (bayesian.py:783-793) per point — the
+    hier posterior's predictive is the same Student-t surface with the
+    shared hyper (nu-d+1) psi scale."""
+    from mimo_tpu.models.gmm import BayesianGMM
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1024, 2)) * 2, jnp.float32)
+    m = BayesianGMM.make(size=6, dim=2, hierarchical=True, kappa=0.5)
+    st, _ = m.fit_vi(x, key=3, maxiter=20)
+    lp_d = m.log_predictive(st, x, dist=dist, backend='xla')
+    lp_f = m.log_predictive(st, x, dist=dist, backend='pallas')
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_d),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fused_predictive_wide_dim():
