@@ -344,6 +344,22 @@ def main():
         f'{50 / dthx:.1f} | Gibbs pallas {50 / dthg:.1f} sw/s | Gibbs xla '
         f'{50 / dthgx:.1f}')
 
+    # ---- nested MAP/EM at the north-star N=1e7 (round 4: the flat M*K
+    # plug-in spec scales the last two nested engines) ---------------------
+    xh7 = jnp.concatenate([
+        jax.random.normal(kh, (5_000_000, 2)) * 0.7 + jnp.array([-5., -4.]),
+        jax.random.normal(jax.random.fold_in(kh, 1), (5_000_000, 2)) * 0.7
+        + jnp.array([5., 4.])])
+    dtm7, (hm_st, hm_tr) = best_of(
+        lambda: hm.fit_map_fused(xh7, key=3, maxiter=20), reps=2)
+    assert bool(jnp.all(jnp.isfinite(hm_tr)))
+    dte7, (he_st, he_tr) = best_of(
+        lambda: hm.fit_em_fused(xh7, key=3, maxiter=20), reps=2)
+    assert bool(jnp.all(jnp.isfinite(he_tr)))
+    log(f'# [nested 1e7/M4xK8/d2] MAP pallas {20 / dtm7:.1f} it/s | '
+        f'EM pallas {20 / dte7:.1f} it/s (fused plug-in M*K spec)')
+    del xh7
+
     # ---- nested ILR serving (round 3: flatten (M, K) -> M*K and ride the
     # flat ILR predict kernel) --------------------------------------------
     hilr = BayesianMixtureOfMixtures.make_ilr(

@@ -648,6 +648,86 @@ class BayesianMixtureOfMixtures:
 
         return fn(run, data, key)
 
+    def fit_em_fused(self, data, key=None, maxiter=100, block_size=None,
+                     mesh=None, backend='auto'):
+        """Nested likelihood-only EM through the fused blockwise engines:
+        the two-level plug-in E-step is one FLAT softmax over all M*K
+        experts (the joint responsibility factors exactly, see
+        _flat_spec), fed spec.theta_plugin(ml_params) — so nested EM
+        scales to HBM-resident N like the fused VI/Gibbs (the (M, N, K)
+        responsibility tensor of fit_em never exists; the anchor INIT
+        still materializes one (N, M*K) distance matrix + dense stats, a
+        one-time cost shared with the flat engine). Equivalent to
+        fit_em's coordinate ascent at maxsubiter=1 with jointly-updated
+        outer weights. mesh/backend as in fit_vi_fused. Returns
+        (HMixEMState, loglik trace). Reference anchor: hgmm.py:59-88 /
+        hilr.py:39-78 (the dense nested ML loop)."""
+        from mimo_tpu.models.mixture import (
+            BayesianMixture, _pallas_xts, _resolve_backend)
+        from mimo_tpu.utils.stats import normalize_log as _nl
+        if self.family.ml_update is None:
+            raise NotImplementedError(
+                'this family has no maximum-likelihood update; build the '
+                'model with hierarchical=False or use fit_vi/fit_gibbs')
+        data = self._tx_data(data)
+        key = _as_key(key)
+        mm, kk = self.cluster_size, self.mixture_size
+        spec = self._flat_spec()
+        if spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused plug-in spec for this family; use fit_em')
+        n = data[0].shape[0]
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        block_size = BayesianMixture._fused_block_size(
+            self, spec, n, mesh, use_pallas, block_size, 'fit_em')
+        fn = self._jit('em_fused', maxiter=maxiter, block_size=block_size,
+                       mesh=mesh, pallas=use_pallas)
+        estep = BayesianMixture._fused_plugin_estep(
+            self, spec, mesh, use_pallas, block_size)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            dtype = data[0].dtype
+            xts = _pallas_xts(data, block_size, mesh) if use_pallas else None
+            # flat M*K anchor seeding (as BayesianMixture.fit_em_fused;
+            # a flat random init is a symmetric fixed point under vmap)
+            x0 = data[0]
+            idx = jax.random.choice(key, n, (mm * kk,), replace=False)
+            anchors = x0[idx]
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+            d2 = jnp.sum((x0[:, None, :] - anchors[None, :, :]) ** 2, -1)
+            resp, _ = _nl(-0.5 * d2 / scale2)            # (N, M*K)
+            stats_flat = self.family.suff_stats(data, resp)
+            stats = jax.tree.map(
+                lambda a: a.reshape((mm, kk) + a.shape[1:]), stats_flat)
+            counts = jnp.sum(resp, axis=0).reshape(mm, kk)
+            params = jax.vmap(self.family.ml_update)(stats)
+
+            def log_pis(counts):
+                csum = jnp.sum(counts, axis=-1)                   # (M,)
+                ilp = jnp.log(jnp.clip(
+                    counts / jnp.clip(csum[:, None], 1e-37, None),
+                    1e-37, None))
+                olp = jnp.log(jnp.clip(csum / n, 1e-37, None))
+                return ilp, olp
+
+            ilp, olp = log_pis(counts)
+
+            def step(carry, _):
+                params, ilp, olp = carry
+                log_pi = (olp[:, None] + ilp).reshape(-1).astype(dtype)
+                res = estep(params, log_pi, data, xts, n, dtype)
+                counts, stats = self._split_flat(res)
+                params = jax.vmap(self.family.ml_update)(stats)
+                ilp, olp = log_pis(counts)
+                return (params, ilp, olp), res.lse
+
+            (params, ilp, olp), trace = jax.lax.scan(
+                step, (params, ilp, olp), None, length=maxiter)
+            return HMixEMState(params, ilp, olp), trace
+
+        return fn(run, data, key)
+
     # -- MAP EM --------------------------------------------------------------
 
     def fit_map(self, data, key=None, maxiter=100, maxsubiter=5):
@@ -732,21 +812,105 @@ class BayesianMixtureOfMixtures:
 
         return fn(run, data, key)
 
+    def fit_map_fused(self, data, key=None, maxiter=100, block_size=None,
+                      mesh=None, backend='auto'):
+        """Nested MAP-EM through the fused blockwise engines: the
+        two-level plug-in E-step at the posterior MODE runs as one flat
+        M*K softmax (spec.theta_plugin(mode_params)), the M-step splits
+        the flat counts/stats back into per-cluster MAP updates plus the
+        outer gating MAP — nested MAP at HBM-resident N without the
+        (M, N, K) responsibilities. Equivalent to fit_map's coordinate
+        ascent at maxsubiter=1 with jointly-updated outer weights.
+        mesh/backend as in fit_vi_fused. Returns (HMixState, trace).
+        Reference anchor: the engine the reference declares but never
+        implements (hilr.py:341-344) — see fit_map."""
+        from mimo_tpu.models.mixture import (
+            BayesianMixture, _pallas_xts, _resolve_backend)
+        data = self._tx_data(data)
+        key = _as_key(key)
+        mm, kk = self.cluster_size, self.mixture_size
+        spec = self._flat_spec()
+        if spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused plug-in spec for this family; use fit_map')
+        n = data[0].shape[0]
+        use_pallas = _resolve_backend(backend, spec, mesh)
+        block_size = BayesianMixture._fused_block_size(
+            self, spec, n, mesh, use_pallas, block_size, 'fit_map')
+        fn = self._jit('map_fused', maxiter=maxiter, block_size=block_size,
+                       mesh=mesh, pallas=use_pallas)
+        estep = BayesianMixture._fused_plugin_estep(
+            self, spec, mesh, use_pallas, block_size)
+
+        def run(data, key):
+            n = data[0].shape[0]
+            dtype = data[0].dtype
+            xts = _pallas_xts(data, block_size, mesh) if use_pallas else None
+            # random two-level responsibilities -> posterior init (as
+            # fit_vi_fused)
+            r = jax.random.uniform(key, (n, mm), dtype=dtype,
+                                   minval=1e-3, maxval=1.0)
+            outer_resp = r / jnp.sum(r, axis=-1, keepdims=True)
+            ir = jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (mm, n, kk), dtype=dtype,
+                                    minval=1e-3, maxval=1.0)
+            inner_resp = ir / jnp.sum(ir, axis=-1, keepdims=True)
+            comps, gatings = self._inner_update(data, inner_resp,
+                                                outer_resp)
+            state = HMixState(
+                outer_gating=self.outer_gating_prior.update(
+                    jnp.sum(outer_resp, axis=0)),
+                inner_gating=gatings, components=comps)
+
+            def step(st, _):
+                params = jax.vmap(self.family.mode_params)(st.components)
+                lp_in = jax.vmap(lambda g: jnp.log(jnp.clip(
+                    g.mode(), 1e-37, None)))(st.inner_gating)     # (M, K)
+                log_pi = (jnp.log(jnp.clip(st.outer_gating.mode(),
+                                           1e-37, None))[:, None]
+                          + lp_in).reshape(-1).astype(dtype)
+                res = estep(params, log_pi, data, xts, n, dtype)
+                counts, stats = self._split_flat(res)
+                comps, gatings = jax.vmap(
+                    lambda pc, pg, s, c: (self.family.update(pc, s),
+                                          pg.update(c)))(
+                    self.components_prior, self.inner_gating_prior,
+                    stats, counts)
+                outer = self.outer_gating_prior.update(
+                    jnp.sum(counts, axis=-1))
+                return HMixState(outer_gating=outer, inner_gating=gatings,
+                                 components=comps), res.lse
+
+            return jax.lax.scan(step, state, None, length=maxiter)
+
+        return fn(run, data, key)
+
     # -- stochastic VI (hilr.py:460-515, hgmm analogue) ---------------------
 
     def fit_svi(self, data, key=None, maxiter=500, step_size=1e-2,
                 batch_size=128, maxsubiter=2, init_state=None,
-                randomize=True):
+                randomize=True, mesh=None):
         """Nested stochastic natural-gradient VI: per step, one random
         minibatch; outer + inner responsibilities on the batch; blend of
         inner components/gatings and the outer gating with stochastic
         scale B/N (nat <- (1-rho) nat + rho (prior + stats/scale),
-        bayesian.py:232-238 applied at both levels)."""
+        bayesian.py:232-238 applied at both levels).
+
+        With `mesh` (a ('chain','data') mesh; shard data over 'data'
+        first), each step runs under shard_map: every device draws
+        batch_size // n_devices points from its LOCAL shard (stratified
+        minibatch, the flat fit_svi's scheme), the (M, K, m) inner stats
+        and outer counts are psum'd once per inner sub-iteration, and
+        the nat-space blends are replicated M*K-sized math on every
+        device."""
         data = self._tx_data(data)
         key = _as_key(key)
+        if mesh is not None and batch_size % mesh.shape['data']:
+            raise ValueError(f'batch_size={batch_size} must be a multiple '
+                             f"of the data-mesh size {mesh.shape['data']}")
         fn = self._jit('svi', maxiter=maxiter, batch_size=batch_size,
                        maxsubiter=maxsubiter, randomize=randomize,
-                       warm=init_state is not None)
+                       warm=init_state is not None, mesh=mesh)
 
         def run(data, key, init_state, step_size):
             # n/scale from the traced data and step_size as a traced arg,
@@ -773,10 +937,19 @@ class BayesianMixtureOfMixtures:
             else:
                 state = init_state
 
-            def step(st, k):
-                k_b = jax.random.fold_in(k, 0)
-                idx = sample_batch_indices(k_b, n, batch_size)
-                batch = tuple(a[idx] for a in data)
+            def body(st, k, *local_data):
+                """One SVI step over `local_data` (the full arrays, or a
+                device's shard under shard_map — `sharded` selects the
+                psum'd reductions)."""
+                sharded = mesh is not None
+                if sharded:
+                    k = jax.random.fold_in(k, jax.lax.axis_index('data'))
+                    b = batch_size // mesh.shape['data']
+                else:
+                    b = batch_size
+                idx = sample_batch_indices(jax.random.fold_in(k, 0),
+                                           local_data[0].shape[0], b)
+                batch = tuple(a[idx] for a in local_data)
                 outer_resp = self.expected_responsibilities(st, batch)
 
                 def sub(j, st):
@@ -784,26 +957,44 @@ class BayesianMixtureOfMixtures:
                         self._inner_elc(st, batch), axis=-1)    # (M, B, K)
                     weighted = inner_resp * outer_resp.T[:, :, None]
 
-                    def per_cluster(prior_c, prior_g, post_c, post_g, w):
-                        stats = self.family.suff_stats(batch, w)
-                        counts = jnp.sum(w, axis=0)
-                        return (self.family.svi_blend(post_c, prior_c,
-                                                      stats, scale,
-                                                      step_size),
-                                prior_g.svi_blend(post_g, counts, scale,
-                                                  step_size))
+                    def per_cluster(w):
+                        return (self.family.suff_stats(batch, w),
+                                jnp.sum(w, axis=0))
 
-                    comps, gatings = jax.vmap(per_cluster)(
+                    stats, counts = jax.vmap(per_cluster)(weighted)
+                    if sharded:
+                        stats, counts = jax.lax.psum((stats, counts),
+                                                     'data')
+                    comps, gatings = jax.vmap(
+                        lambda pc, pg, qc, qg, s, c: (
+                            self.family.svi_blend(qc, pc, s, scale,
+                                                  step_size),
+                            pg.svi_blend(qg, c, scale, step_size)))(
                         self.components_prior, self.inner_gating_prior,
-                        st.components, st.inner_gating, weighted)
+                        st.components, st.inner_gating, stats, counts)
                     return st._replace(components=comps,
                                        inner_gating=gatings)
 
                 st = jax.lax.fori_loop(0, maxsubiter, sub, st)
+                oc = jnp.sum(outer_resp, axis=0)
+                if sharded:
+                    oc = jax.lax.psum(oc, 'data')
                 outer_g = self.outer_gating_prior.svi_blend(
-                    st.outer_gating, jnp.sum(outer_resp, axis=0), scale,
-                    step_size)
-                return st._replace(outer_gating=outer_g), None
+                    st.outer_gating, oc, scale, step_size)
+                return st._replace(outer_gating=outer_g)
+
+            if mesh is None:
+                def step(st, k):
+                    return body(st, k, *data), None
+            else:
+                from jax.sharding import PartitionSpec as P
+                smapped = jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P()) + tuple(P('data') for _ in data),
+                    out_specs=P())
+
+                def step(st, k):
+                    return smapped(st, k, *data), None
 
             state, _ = jax.lax.scan(step, state,
                                     jax.random.split(key, maxiter))

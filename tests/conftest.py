@@ -67,8 +67,13 @@ _SLOW = {
     'test_hmix_fused_gibbs_gmm',
     'test_hmix_fused_gibbs_ilr',
     'test_hmix_fused_gibbs_sharded_runs',
+    'test_hmix_fused_em',
+    'test_hmix_fused_em_ilr',
+    'test_hmix_fused_map',
     'test_hmix_fused_vi_gmm',
     'test_hmix_fused_vi_ilr',
+    'test_hmix_svi_mesh',
+    'test_fused_hier_predictive_matches_dense',
     'test_hmix_fused_vi_sharded_equals_unsharded',
     'test_hmix_ilr_backend_pallas_fit_matches_xla',
     'test_hmix_pallas_sharded_equals_unsharded',

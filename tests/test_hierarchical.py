@@ -385,3 +385,107 @@ def test_hmix_fused_gibbs_ilr():
                    components=gs.components)
     mu, _, _, _ = m.predict(st, x)
     assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_hmix_fused_em(nested_data):
+    """Nested fused EM (flat M*K plug-in softmax): the loglik trace must
+    improve and the super-clusters separate; the ILR variant runs too.
+    The (M, N, K) responsibility tensor of fit_em never exists."""
+    x = jnp.asarray(nested_data, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, dtype=jnp.float64)
+    fits = [m.fit_em_fused(x, key=s, maxiter=80, block_size=500)
+            for s in range(6)]
+    st, tr = max(fits, key=lambda f: float(f[1][-1]))
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all() and tr[-1] > tr[0]
+    # engine-correctness oracle: both traces are sum_n log sum_{m,k}
+    # exp(joint loglik), so the fused best must reach the dense fit_em's
+    # best (outer grouping under a symmetric init is model selection —
+    # label permutations don't move this number)
+    dense_best = max(float(m.fit_em(x, key=s, maxiter=50,
+                                    maxsubiter=1)[1][-1])
+                     for s in range(3))
+    assert float(tr[-1]) >= dense_best - 0.05 * x.shape[0]
+    # HMixEMState surfaces work: responsibilities + log_likelihood
+    resp = m.responsibilities(st, (x,))
+    assert resp.shape == (x.shape[0], 2)
+    assert np.isfinite(np.asarray(m.log_likelihood(st, (x,)))).all()
+    # hierarchical families have no ML update: actionable gate
+    mh = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=True,
+        dtype=jnp.float64)
+    with pytest.raises(NotImplementedError, match='maximum-likelihood'):
+        mh.fit_em_fused(x, maxiter=2, block_size=500)
+
+
+def test_hmix_fused_em_ilr():
+    rng = np.random.default_rng(3)
+    n = 800
+    x1 = rng.uniform(-2, 0, (n // 2, 1))
+    x2 = rng.uniform(0, 2, (n // 2, 1))
+    y = np.vstack([1.5 * x1 + 1, -2.0 * x2 + 0.5]) \
+        + 0.05 * rng.standard_normal((n, 1))
+    x = jnp.asarray(np.vstack([x1, x2]), jnp.float64)
+    y = jnp.asarray(y, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=2, input_dim=1, output_dim=1,
+        kappa=0.05, dtype=jnp.float64)
+    st, tr = m.fit_em_fused((x, y), key=1, maxiter=40, block_size=400)
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all() and tr[-1] > tr[0]
+
+
+def test_hmix_fused_map(nested_data):
+    """Nested fused MAP-EM: trace improves, super-clusters separate, and
+    the returned HMixState feeds the standard surfaces (predictive,
+    outer responsibilities) — MAP at HBM-resident N."""
+    x = jnp.asarray(nested_data, jnp.float64)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -4], [5, 4]],
+        dtype=jnp.float64)
+    fits = [m.fit_map_fused(x, key=s, maxiter=50, block_size=500)
+            for s in range(3)]
+    st, tr = max(fits, key=lambda f: float(f[1][-1]))
+    tr = np.asarray(tr)
+    assert np.isfinite(tr).all() and tr[-1] > tr[0]
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 800 and r_major[1] > 800
+    lp = np.asarray(m.log_predictive(st, x[:50]))
+    assert np.isfinite(lp).all()
+
+
+def test_hmix_svi_mesh(nested_data):
+    """Nested SVI on the 8-device CPU mesh: stratified per-device
+    minibatches + psum'd two-level stats produce a finite posterior that
+    separates the super-clusters (the flat fit_svi's sharding scheme at
+    both levels)."""
+    from mimo_tpu.parallel.mesh import make_mesh, shard_data
+    x = jnp.asarray(nested_data, jnp.float64)
+    mesh = make_mesh()
+    xs = shard_data(mesh, x)
+    m = BayesianMixtureOfMixtures.make_gmm(
+        cluster_size=2, mixture_size=3, dim=2, hierarchical=False,
+        kappa=0.5, psi_scale=0.5, means=[[-5, -4], [5, 4]],
+        dtype=jnp.float64)
+    st = m.fit_svi(xs, key=1, maxiter=150, step_size=0.5,
+                   batch_size=512, maxsubiter=2, mesh=mesh)
+    leaves = jax.tree.leaves(st.components)
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
+    resp = m.expected_responsibilities(st, (x,))
+    lab = np.asarray(jnp.argmax(resp, -1))
+    left = np.asarray(x)[:, 0] < 0
+    l_major = Counter(lab[left].tolist()).most_common(1)[0]
+    r_major = Counter(lab[~left].tolist()).most_common(1)[0]
+    assert l_major[0] != r_major[0]
+    assert l_major[1] > 800 and r_major[1] > 800
+    # batch size must divide the mesh
+    with pytest.raises(ValueError, match='multiple'):
+        m.fit_svi(xs, key=1, maxiter=2, batch_size=511, mesh=mesh)
