@@ -5,3 +5,6 @@ from mimo_tpu.parallel.mesh import (
 from mimo_tpu.parallel.chains import (
     fit_chains, best_of, systematic_resample, smc_gibbs,
 )
+from mimo_tpu.parallel.diagnostics import (
+    split_rhat, ess, rank_normalize, diagnostics,
+)
