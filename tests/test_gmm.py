@@ -265,3 +265,22 @@ def test_sample_from_fitted(data):
                                atol=0.2)
     np.testing.assert_allclose(np.cov(np.asarray(xs).T),
                                np.cov(np.asarray(x).T), rtol=0.15, atol=0.3)
+
+
+def test_serve_from_gibbs_state(data):
+    """Predict-after-resample (examples/dgmm/gibbs_dgmm.py:60): a Gibbs
+    chain's posteriors wrapped in an MFState feed log_predictive /
+    used_labels unchanged, and the density is as good as VI's on the
+    same data (within a nat/point)."""
+    x, _ = data
+    m = BayesianGMM.make(size=8, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    gs = m.fit_gibbs(x, key=2, maxiter=80)
+    st_g = MFState(components=gs.components, gating=gs.gating)
+    lp_g = np.asarray(m.log_predictive(st_g, x[:500]))
+    assert np.isfinite(lp_g).all()
+    st_v, _ = m.fit_vi(x, key=1, maxiter=100)
+    lp_v = np.asarray(m.log_predictive(st_v, x[:500]))
+    assert abs(lp_g.mean() - lp_v.mean()) < 1.0
+    used = m.used_labels(st_g, x)
+    assert 2 <= int(np.asarray(used).sum()) <= 8

@@ -229,3 +229,21 @@ def test_sample_from_fitted_ilr():
     sel = np.abs(xs[:, 0]) < 5.5
     pred_err = np.abs(ys[sel, 0] - np.sin(xs[sel, 0]))
     assert np.quantile(pred_err, 0.5) < 0.35, np.quantile(pred_err, 0.5)
+
+
+def test_predict_from_gibbs_state(sine):
+    """Predict-after-resample for regression: the Gibbs chain's
+    posteriors serve through predict() via MFState (the reference
+    user's workflow after examples/ilr gibbs runs)."""
+    x, y = sine
+    m = BayesianILR.make(size=20, input_dim=1, output_dim=1,
+                         gating='stick-breaking', alpha=5.0, kappa=0.05,
+                         dtype=jnp.float64)
+    m.init_transform(x, y)
+    gs = m.fit_gibbs((x, y), key=0, maxiter=60)
+    mu, var, std, nlpd = m.predict(
+        MFState(components=gs.components, gating=gs.gating), x, y)
+    rmse = float(np.sqrt(np.mean(
+        (np.asarray(mu) - np.sin(np.asarray(x))) ** 2)))
+    assert np.isfinite(np.asarray(nlpd)).all()
+    assert rmse < 0.3
