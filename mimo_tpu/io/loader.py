@@ -4,12 +4,19 @@
 with multithreaded row gather — the out-of-core data path for stochastic
 VI on datasets beyond host RAM / device HBM. Build the library once with
 `make -C native` (done automatically on first use if g++ is available).
+
+Without a C++ toolchain the module degrades gracefully to a pure-NumPy
+np.memmap backend (same 16-byte {int64 rows, int64 cols} + float32
+row-major format, same API; single-threaded gather — measured ~2-3x
+slower ingest than the threaded native path, which only matters when
+fit_svi_stream is IO-bound). Set MIMO_TPU_LOADER=numpy to force it.
 """
 
 import ctypes
 import glob
 import os
 import subprocess
+import warnings
 
 import numpy as np
 
@@ -44,6 +51,8 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if os.environ.get('MIMO_TPU_LOADER') == 'numpy':
+        raise OSError('MIMO_TPU_LOADER=numpy forces the NumPy backend')
     lib = ctypes.CDLL(_find_lib())
     lib.mimo_open.restype = ctypes.c_void_p
     lib.mimo_open.argtypes = [ctypes.c_char_p,
@@ -68,10 +77,31 @@ def _load():
     return lib
 
 
+def _native_or_none():
+    """The native library, or None (with a one-time warning) when no
+    toolchain/prebuilt .so is available — callers fall back to NumPy."""
+    global _warned
+    try:
+        return _load()
+    except (OSError, subprocess.CalledProcessError):
+        if not globals().get('_warned'):
+            warnings.warn(
+                'mimo_tpu.io: native loader unavailable (no C++ toolchain '
+                'or prebuilt extension); using the pure-NumPy mmap backend '
+                '(same format/API, single-threaded gather)', RuntimeWarning)
+            _warned = True
+        return None
+
+
 def write_bin(path, array):
     """Write a float32 (N, d) array in the loader's binary format."""
-    lib = _load()
     arr = np.ascontiguousarray(np.asarray(array, np.float32))
+    lib = _native_or_none()
+    if lib is None:
+        with open(path, 'wb') as f:
+            np.asarray(arr.shape, np.int64).tofile(f)
+            arr.tofile(f)
+        return path
     rows = lib.mimo_write_bin(
         path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         arr.shape[0], arr.shape[1])
@@ -83,7 +113,12 @@ def write_bin(path, array):
 def csv_to_bin(csv_path, bin_path):
     """Convert a headerless numeric CSV (e.g. the reference's ilr/cmb.csv)
     to the binary format. Returns the row count."""
-    lib = _load()
+    lib = _native_or_none()
+    if lib is None:
+        arr = np.loadtxt(csv_path, delimiter=',', dtype=np.float32,
+                         ndmin=2)
+        write_bin(bin_path, arr)
+        return int(arr.shape[0])
     rows = lib.mimo_csv_to_bin(csv_path.encode(), bin_path.encode())
     if rows < 0:
         raise IOError(f'failed to parse {csv_path}')
@@ -91,22 +126,41 @@ def csv_to_bin(csv_path, bin_path):
 
 
 class MmapDataset:
-    """Memory-mapped float32 matrix with O(1) open and threaded gather."""
+    """Memory-mapped float32 matrix with O(1) open and threaded gather
+    (native), or np.memmap single-threaded gather (fallback)."""
 
     def __init__(self, path, n_threads=8):
-        self._lib = _load()
-        rows = ctypes.c_int64()
-        cols = ctypes.c_int64()
-        self._h = self._lib.mimo_open(path.encode(), ctypes.byref(rows),
-                                      ctypes.byref(cols))
-        if not self._h:
-            raise IOError(f'cannot open dataset {path}')
-        self.shape = (rows.value, cols.value)
+        self._lib = _native_or_none()
+        self._h = None
+        self._mm = None
+        if self._lib is None:
+            hdr = np.fromfile(path, dtype=np.int64, count=2)
+            if hdr.size != 2 or hdr[0] <= 0 or hdr[1] <= 0:
+                raise IOError(f'cannot open dataset {path}')
+            rows_v, cols_v = int(hdr[0]), int(hdr[1])
+            payload = os.path.getsize(path) - 16
+            if payload < 4 * rows_v * cols_v:
+                raise IOError(f'cannot open dataset {path}: truncated')
+            self._mm = np.memmap(path, dtype=np.float32, mode='r',
+                                 offset=16, shape=(rows_v, cols_v))
+            self.shape = (rows_v, cols_v)
+        else:
+            rows = ctypes.c_int64()
+            cols = ctypes.c_int64()
+            self._h = self._lib.mimo_open(path.encode(), ctypes.byref(rows),
+                                          ctypes.byref(cols))
+            if not self._h:
+                raise IOError(f'cannot open dataset {path}')
+            self.shape = (rows.value, cols.value)
         self.n_threads = n_threads
 
     def gather(self, indices):
         """Rows by index -> float32 (len(indices), d)."""
         idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        if self._mm is not None:
+            if idx.size and (idx.min() < 0 or idx.max() >= self.shape[0]):
+                raise IndexError('gather index out of range')
+            return np.asarray(self._mm[idx], np.float32)
         out = np.empty((idx.shape[0], self.shape[1]), np.float32)
         self._lib.mimo_gather(
             self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -121,6 +175,8 @@ class MmapDataset:
         if count <= 0:
             raise ValueError(f'count={count} must be positive')
         count = min(count, self.shape[0] - start)
+        if self._mm is not None:
+            return np.array(self._mm[start:start + count], np.float32)
         out = np.empty((count, self.shape[1]), np.float32)
         self._lib.mimo_read_block(
             self._h, start, count,
@@ -140,6 +196,7 @@ class MmapDataset:
         if self._h:
             self._lib.mimo_close(self._h)
             self._h = None
+        self._mm = None
 
     def __del__(self):
         try:

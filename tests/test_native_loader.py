@@ -74,3 +74,41 @@ def test_streaming_svi(dataset):
     for t in np.array([[-4., 0.], [4., 0.], [0., 5.]]):
         assert np.min(np.linalg.norm(est - t, axis=-1)) < 0.4
     ds.close()
+
+
+def test_numpy_fallback_matches_native(dataset, tmp_path, monkeypatch):
+    """MIMO_TPU_LOADER=numpy: the pure-NumPy mmap backend reads the
+    native-written file bit-identically (same header + payload format),
+    gathers/blocks agree, and write_bin/csv_to_bin round-trip — so
+    `pip install mimo_tpu` without g++ degrades gracefully instead of
+    raising OSError."""
+    import mimo_tpu.io.loader as L
+    path, x = dataset
+    ds_native = L.MmapDataset(path)
+    idx = np.asarray([0, 5, 19999, 7, 7], np.int64)
+    g_native = ds_native.gather(idx)
+    b_native = ds_native.read_block(100, 64)
+    ds_native.close()
+
+    monkeypatch.setenv('MIMO_TPU_LOADER', 'numpy')
+    monkeypatch.setattr(L, '_lib', None)       # drop the cached handle
+    monkeypatch.setattr(L, '_warned', False, raising=False)
+    with pytest.warns(RuntimeWarning, match='NumPy'):
+        ds_np = L.MmapDataset(path)
+    assert ds_np.shape == (20000, 2)
+    np.testing.assert_array_equal(ds_np.gather(idx), g_native)
+    np.testing.assert_array_equal(ds_np.read_block(100, 64), b_native)
+    with pytest.raises(IndexError):
+        ds_np.gather(np.asarray([20000], np.int64))
+    # fallback write_bin -> native open (format identity, other way)
+    p2 = str(tmp_path / 'np_written.bin')
+    L.write_bin(p2, x[:100])
+    csvp = str(tmp_path / 't.csv')
+    np.savetxt(csvp, x[:50], delimiter=',', fmt='%.6f')
+    assert L.csv_to_bin(csvp, str(tmp_path / 't.bin')) == 50
+    ds_np.close()
+    monkeypatch.delenv('MIMO_TPU_LOADER')
+    monkeypatch.setattr(L, '_lib', None)
+    ds2 = L.MmapDataset(p2)                    # native reads numpy-written
+    np.testing.assert_array_equal(ds2.read_block(0, 100), x[:100])
+    ds2.close()
