@@ -751,7 +751,7 @@ class BayesianMixture:
 
     def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
                        step_size=1e-2, batch_size=128, init_state=None,
-                       forgetting=None, delay=1.0, group=16):
+                       forgetting=None, delay=1.0, group=16, mesh=None):
         """Out-of-core SVI: the host supplies minibatches (e.g. from
         io.MmapDataset over a file bigger than RAM/HBM); jitted
         natural-gradient steps run per batch.
@@ -767,7 +767,20 @@ class BayesianMixture:
         locally) that dwarfs the math at reference batch sizes, so
         per-batch dispatch ran at ~3 steps/s where the grouped stream
         runs at ~group x that; group x batch_size x dim floats must fit
-        in host RAM + HBM (group=16 of B=65536 x d=2 f32 is 8 MB)."""
+        in host RAM + HBM (group=16 of B=65536 x d=2 f32 is 8 MB).
+
+        With `mesh`, out-of-core meets multi-chip: every PROCESS streams
+        its own shard of the file and `next_batch(i)` returns this
+        process's local rows — batch_size * (local devices / total
+        devices) of them, ordered by the process's devices in mesh
+        order. The local stacks are assembled into global arrays via
+        jax.make_array_from_process_local_data (host shards -> device
+        shards, no cross-host data movement) and the jitted step's
+        stats contraction reduces over the sharded batch axis under
+        GSPMD — only the (K, m) statistics cross the mesh.
+        `total_size`/`batch_size` stay GLOBAL. See
+        scripts/multihost_cpu.py --stream for the executed 2-process
+        flow."""
         key = _as_key(key)
         scale = batch_size / total_size
         group = max(1, min(group, maxiter))
@@ -792,23 +805,39 @@ class BayesianMixture:
             self._cache[step_key] = jax.jit(run_group)
         step_fn = self._cache[step_key]
 
+        import numpy as _np
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sh = NamedSharding(mesh, P('data'))
+            stack_sh = NamedSharding(mesh, P(None, 'data'))
+
         if init_state is None:
             batch0 = _as_tuple(next_batch(0))
-            n0 = batch0[0].shape[0]
-            resp0 = _random_resp(key, n0, self.size, batch0[0].dtype)
-            state = self._mf_update(batch0, resp0)
+            if mesh is None:
+                n0 = batch0[0].shape[0]
+                resp0 = _random_resp(key, n0, self.size, batch0[0].dtype)
+                state = self._mf_update(batch0, resp0)
+            else:
+                batch0 = tuple(jax.make_array_from_process_local_data(
+                    batch_sh, _np.asarray(b)) for b in batch0)
+                state = jax.jit(lambda b, k: self._mf_update(
+                    b, _random_resp(k, b[0].shape[0], self.size,
+                                    b[0].dtype)))(batch0, key)
         else:
             state = init_state
 
-        import numpy as _np
         for g0 in range(0, maxiter, group):
             g = min(group, maxiter - g0)
             bs = [_as_tuple(next_batch(g0 + j)) for j in range(g)]
             if g < group:        # ragged tail: repeat last, zero its rho
                 bs = bs + [bs[-1]] * (group - g)
-            stacked = tuple(jnp.asarray(_np.stack([_np.asarray(b[a])
-                                                   for b in bs]))
-                            for a in range(len(bs[0])))
+            local = tuple(_np.stack([_np.asarray(b[a]) for b in bs])
+                          for a in range(len(bs[0])))
+            if mesh is None:
+                stacked = tuple(jnp.asarray(a) for a in local)
+            else:
+                stacked = tuple(jax.make_array_from_process_local_data(
+                    stack_sh, a) for a in local)
             if forgetting is None:
                 rhos = _np.full(group, step_size, _np.float32)
             else:

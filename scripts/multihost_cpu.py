@@ -113,6 +113,39 @@ def worker(args):
                                          backend='xla')
     out['map_trace'] = fetch(ll_map).tolist()
 
+    # out-of-core x multi-process: every process streams ITS shard of
+    # the dataset from disk (io.MmapDataset), fit_svi_stream assembles
+    # the local rows into global arrays via
+    # make_array_from_process_local_data. Deterministic block schedule
+    # so the 1-process oracle reads the SAME global batches.
+    import tempfile
+    from mimo_tpu.io.loader import MmapDataset, write_bin
+    n_dev_total = args.nprocs * args.devices
+    s = n // n_dev_total                       # rows per device shard
+    b = 16                                     # batch rows per device
+    first_dev = args.proc_id * args.devices
+    local_rows = x.astype(np.float32)[
+        first_dev * s:(first_dev + args.devices) * s]
+    shard_path = os.path.join(tempfile.gettempdir(),
+                              f'mimo_mh_shard_{os.getpid()}.bin')
+    write_bin(shard_path, local_rows)
+    ds = MmapDataset(shard_path)
+
+    def next_batch(i):
+        i_mod = i % (s // b)
+        return np.concatenate(
+            [ds.read_block(k * s + i_mod * b, b)
+             for k in range(args.devices)]).astype(dtype)
+
+    st_str = model.fit_svi_stream(next_batch, total_size=n, key=5,
+                                  maxiter=24, step_size=0.3,
+                                  batch_size=b * n_dev_total, group=8,
+                                  mesh=mesh)
+    out['stream_leaves'] = [fetch(a).ravel().tolist()
+                            for a in jax.tree.leaves(st_str)]
+    ds.close()
+    os.unlink(shard_path)
+
     out['proc_id'] = args.proc_id
     out['global_devices'] = jax.device_count()
     with open(args.out, 'w') as f:
@@ -205,6 +238,9 @@ def launcher(args):
     for j, (la, lb) in enumerate(zip(ref['svi_leaves'], r0['svi_leaves'])):
         close(f'svi_leaf{j}', la, lb)
     close('map_trace', ref['map_trace'], r0['map_trace'])
+    for j, (la, lb) in enumerate(zip(ref['stream_leaves'],
+                                     r0['stream_leaves'])):
+        close(f'stream_leaf{j}', la, lb)
     # every process must report the same replicated values
     for i, r in enumerate(runs[1:], 1):
         close(f'proc{i}_vi_trace', r0['vi_trace'], r['vi_trace'])
@@ -218,7 +254,7 @@ def launcher(args):
         'devices_per_proc': args.devices, 'global_devices': world,
         'checks': len(checks), 'failed': len(bad),
         'engines': ['fit_vi_fused', 'fit_gibbs_fused', 'fit_svi',
-                    'fit_map_fused'],
+                    'fit_map_fused', 'fit_svi_stream'],
     }
     print(json.dumps(result))
     if bad:

@@ -31,4 +31,5 @@ def test_two_process_global_mesh_matches_single_process():
     assert result['ok'] and result['failed'] == 0
     assert result['global_devices'] == 4
     assert set(result['engines']) == {'fit_vi_fused', 'fit_gibbs_fused',
-                                      'fit_svi', 'fit_map_fused'}
+                                      'fit_svi', 'fit_map_fused',
+                                      'fit_svi_stream'}
