@@ -18,6 +18,8 @@ def main():
     from mimo_tpu.distributions.niw import GaussParams
     from mimo_tpu.parallel.chains import fit_chains, best_of, smc_gibbs
 
+    from mimo_tpu.parallel.diagnostics import diagnostics
+
     key = jax.random.PRNGKey(args.seed)
     true_mu = jnp.array([[-4., 0.], [4., 0.], [0., 5.]], jnp.float32)
     true_lm = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32) * 2.0, (3, 2, 2))
@@ -33,6 +35,15 @@ def main():
           f'{finals.round(1)}')
     best, idx = best_of(states, vlbs)
     print(f'best chain {int(idx)}: {finals[idx]:.1f}')
+
+    # convergence diagnostics over a Gibbs trace stack (no reference
+    # counterpart — its only diagnostic is best-of-N ELBO)
+    gss, lls = fit_chains(model, 'fit_gibbs', x, keys, maxiter=150,
+                          track_loglik=True)
+    d = diagnostics(np.asarray(lls)[:, 50:])     # post-burn-in
+    print(f"Gibbs loglik diagnostics over {args.chains} chains: "
+          f"split-R-hat {d['rhat']:.3f} (rank {d['rhat_rank']:.3f}), "
+          f"ESS {d['ess']:.0f} of {d['n']}")
 
     states, lls = smc_gibbs(model, x, key=args.seed, n_chains=args.chains,
                             n_rounds=8, sweeps_per_round=10)

@@ -1183,15 +1183,14 @@ class BayesianMixtureOfMixtures:
         xx = x if self.input_transform is None \
             else self.input_transform.transform(x)
         basis_post, models_post = state.components
-        fused_ok = (dist == 'studentt' and models_post.M.shape[-2] == 1)
+        fused_ok = dist == 'studentt'
         if backend == 'pallas' and not fused_ok:
             raise NotImplementedError(
-                'fused serving needs studentt predictives and p=1 '
-                "outputs; use backend='xla' (dense) for this config")
+                'fused serving needs studentt predictives; use '
+                "backend='xla' (dense) for this config")
         if fused_ok and (backend == 'pallas' or
                          (backend == 'auto'
                           and jax.default_backend() == 'tpu')):
-            from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
             flat = jax.tree.map(
                 lambda a: a.reshape((-1,) + a.shape[2:]),
                 (basis_post, models_post))
@@ -1199,12 +1198,23 @@ class BayesianMixtureOfMixtures:
             if y is not None:
                 yy = y if self.output_transform is None \
                     else self.output_transform.transform(y)
-            mu1, var1, nlpd = ilr_predict_pallas(
-                flat[0], flat[1], self._log_mix_weights(state).reshape(-1),
-                xx, yy, self.affine, prediction=prediction)
             dtype = xx.dtype
-            mu = mu1[:, None].astype(dtype)
-            var = var1[:, None].astype(dtype)
+            log_w = self._log_mix_weights(state).reshape(-1)
+            if models_post.M.shape[-2] == 1:
+                from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+                mu1, var1, nlpd = ilr_predict_pallas(
+                    flat[0], flat[1], log_w, xx, yy, self.affine,
+                    prediction=prediction)
+                mu = mu1[:, None].astype(dtype)
+                var = var1[:, None].astype(dtype)
+            else:
+                from mimo_tpu.ops.pallas_predict import (
+                    _ilr_p_predict_pallas)
+                mu, var, nlpd = _ilr_p_predict_pallas(
+                    flat[0], flat[1], log_w, xx, yy, self.affine,
+                    None, prediction)
+                mu = mu.astype(dtype)
+                var = var.astype(dtype)
             if nlpd is not None:
                 nlpd = nlpd.astype(dtype)
                 if self.output_transform is not None:

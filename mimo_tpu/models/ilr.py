@@ -290,35 +290,47 @@ class BayesianILR(BayesianMixture):
         adds the input back onto the prediction (delta-dynamics models,
         ilr.py:411-413).
 
-        `backend`: 'auto' routes every p=1 studentt configuration (full
-        MNW, diag MNG, tied-affine, hier-basis; 'average' AND 'mode')
-        through the fused Mosaic serving kernel on TPU
-        (ops/pallas_predict.py) — weights, moment matching, and NLPD in
-        one pass, no (N, K) intermediates; 'xla' forces the dense path;
-        'pallas' REQUIRES the kernel path (raising if the config can't
-        ride it — p>1 or gaussian predictives), running it in interpret
-        mode off-TPU so the model-level glue is testable on CPU."""
+        `backend`: 'auto' routes every studentt configuration (full
+        MNW incl. p>1 outputs, p=1 diag MNG, tied-affine, hier-basis;
+        'average' AND 'mode') through the fused Mosaic serving kernels
+        on TPU (ops/pallas_predict.py) — weights, moment matching, and
+        NLPD in one pass, no (N, K) intermediates; 'xla' forces the
+        dense path; 'pallas' REQUIRES the kernel path (raising if the
+        config can't ride it — p>1 diag experts or gaussian
+        predictives), running it in interpret mode off-TPU so the
+        model-level glue is testable on CPU."""
         if backend not in ('auto', 'xla', 'pallas'):
             raise ValueError(f'unknown backend: {backend!r}')
-        fused_ok = dist == 'studentt' and self.output_dim == 1
+        fused_ok = dist == 'studentt' and (self.output_dim == 1
+                                           or not self.diag)
         if backend == 'pallas' and not fused_ok:
             raise NotImplementedError(
                 'fused serving needs studentt predictives and p=1 '
-                "outputs; use backend='xla' (dense) for this config")
+                'outputs for diag (MNG) experts; use '
+                "backend='xla' (dense) for this config")
         xx = self._tx(x)
         if fused_ok and (backend == 'pallas' or
                          (backend == 'auto'
                           and jax.default_backend() == 'tpu')):
-            from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
             basis_post, models_post = state.components
             yy = self._ty(y) if y is not None else None
-            mu1, var1, nlpd = ilr_predict_pallas(
-                basis_post, models_post,
-                self.predictive_log_weights(state), xx, yy, self.affine,
-                prediction=prediction)
             dtype = xx.dtype
-            mu = mu1[:, None].astype(dtype)
-            var = var1[:, None].astype(dtype)
+            log_w = self.predictive_log_weights(state)
+            if self.output_dim == 1:
+                from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
+                mu1, var1, nlpd = ilr_predict_pallas(
+                    basis_post, models_post, log_w, xx, yy, self.affine,
+                    prediction=prediction)
+                mu = mu1[:, None].astype(dtype)
+                var = var1[:, None].astype(dtype)
+            else:
+                from mimo_tpu.ops.pallas_predict import (
+                    _ilr_p_predict_pallas)
+                mu, var, nlpd = _ilr_p_predict_pallas(
+                    basis_post, models_post, log_w, xx, yy, self.affine,
+                    None, prediction)
+                mu = mu.astype(dtype)
+                var = var.astype(dtype)
             if nlpd is not None:
                 nlpd = nlpd.astype(dtype)
                 if self.output_transform is not None:

@@ -331,6 +331,237 @@ def diag_predictive_pallas(post, log_w, x, block_size=None,
 
 # -- fused ILR serving: weights + moment-matched prediction + NLPD -----------
 
+
+def _ilr_joint_features_t(ts):
+    """Joint (x, y) feature rows for the p>1 serving kernel:
+    [1; x; x (x) x; y; x (x) y; y (x) y]. The leading 1 + d + d^2 rows
+    MATCH gauss_features_t, so x-only coefficient rows (basis quad,
+    c quad, expert means) zero-pad the y-columns and ride the same
+    dot."""
+    from mimo_tpu.ops.family_estep import _rows_outer
+    xt, yt = ts
+    one = jnp.ones((1, xt.shape[1]), xt.dtype)
+    return jnp.concatenate(
+        [one, xt] + _rows_outer(xt, xt) + [yt] + _rows_outer(xt, yt)
+        + _rows_outer(yt, yt), axis=0)
+
+
+def _ilr_p_predict_kernel(p_out, has_y, hard, *refs):
+    """Fused ILR predict for p>1 outputs. refs = (x_ref, [y_ref],
+    th_ref, aux_ref, vc_ref, out_ref); th_ref ((2 + p)K [+ K], m8) rows
+    = [basis-quad; c-quad; expert-mean rows (k*p + j order); with y:
+    the MVT quad (y - M xt)' psi (y - M xt) over the joint features];
+    aux_ref (K, 8) cols = [log_pi + basis_aux, basis_h, basis_1/df,
+    y_aux, y_h, 0...]; vc_ref (K, p8) per-(component, output) variance
+    coefficients (var_kj = c_k(x) vc_kj); out_ref (ro8, B) rows =
+    [mean (p), var (p), nlpd, lse_w, 0...]."""
+    x_ref = refs[0]
+    y_ref = refs[1] if has_y else None
+    th_ref, aux_ref, vc_ref, out_ref = refs[1 + has_y:]
+    k = aux_ref.shape[0]
+    if has_y:
+        f = _assemble(_ilr_joint_features_t, (x_ref[:], y_ref[:]),
+                      th_ref.shape[1])
+    else:
+        from mimo_tpu.ops.family_estep import gauss_features_t
+        f = _assemble(gauss_features_t, (x_ref[:],), th_ref.shape[1])
+    b = f.shape[1]
+    z = _dot_split_ff(th_ref[:], f)                    # (rows, B)
+    qb = jnp.maximum(z[:k], 0.0)
+    cq = jnp.maximum(z[k:2 * k], 0.0)
+    mu = z[2 * k:(2 + p_out) * k]                      # (K*p, B)
+    c = 1.0 + cq                                       # (K, B)
+
+    lwc = aux_ref[:, 0:1]
+    bh = aux_ref[:, 1:2]
+    binvdf = aux_ref[:, 2:3]
+    y_aux = aux_ref[:, 3:4]
+    y_h = aux_ref[:, 4:5]
+
+    lw = lwc - bh * jnp.log1p(qb * binvdf)             # (K, B)
+    mx = jnp.max(lw, axis=0, keepdims=True)
+    ew = jnp.exp(lw - mx)
+    denom = jnp.sum(ew, axis=0, keepdims=True)
+    w = ew * (1.0 / denom)
+    lse_w = mx + jnp.log(denom)
+    if hard:
+        wm = (lw >= mx).astype(lw.dtype)
+        w = wm * (1.0 / jnp.sum(wm, axis=0, keepdims=True))
+
+    # j-major mean/variance: p static 2D passes — (K, p, B) tensors
+    # lower to slow Mosaic shuffles, (K, B) elementwise + sublane
+    # reductions don't. mu rows are (j*K + k) order.
+    wc = w * c                                         # (K, B)
+    means, varis = [], []
+    for j in range(p_out):
+        mu_j = mu[j * k:(j + 1) * k]                   # (K, B)
+        mean_j = jnp.sum(w * mu_j, axis=0, keepdims=True)
+        second_j = (jnp.sum(wc * vc_ref[:, j:j + 1], axis=0,
+                            keepdims=True)
+                    + jnp.sum(w * mu_j * mu_j, axis=0, keepdims=True))
+        means.append(mean_j)
+        varis.append(jnp.maximum(second_j - mean_j * mean_j, 0.0))
+    mean = jnp.concatenate(means, axis=0)              # (p, B)
+    var = jnp.concatenate(varis, axis=0)
+
+    if has_y:
+        bq = jnp.maximum(z[(2 + p_out) * k:], 0.0)     # (K, B)
+        lp_y = (y_aux - 0.5 * p_out * jnp.log(c)
+                - y_h * jnp.log1p(bq * (1.0 / c)))
+        s = lp_y + lw
+        mxs = jnp.max(s, axis=0, keepdims=True)
+        lse_s = mxs + jnp.log(jnp.sum(jnp.exp(s - mxs), axis=0,
+                                      keepdims=True))
+        nlpd = -(lse_s - lse_w)
+    else:
+        nlpd = jnp.zeros((1, b), jnp.float32)
+
+    ro8 = out_ref.shape[0]
+    pad = ro8 - (2 * p_out + 2)
+    parts = [mean, var, nlpd, lse_w]
+    if pad:             # zero-row concat operands break Mosaic lowering
+        parts.append(jnp.zeros((pad, b), jnp.float32))
+    out_ref[:] = jnp.concatenate(parts, axis=0)
+
+
+def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
+                          affine, block_size, prediction):
+    """p>1 fused ILR serving (full MNW / tied-affine experts; NIW or
+    HierTied basis). One hi/lo-split dot over joint (x, y) features
+    produces basis quads, c quads, all K*p expert means, and the K MVT
+    quads; moment matching, variance diagonals, and NLPD follow
+    in-register. Returns (mean (N, p), var (N, p), nlpd (N,) | None)."""
+    from mimo_tpu.distributions.affine import TiedAffine, to_packed_mnw
+    from mimo_tpu.ops.pallas_estep import pick_pallas_block
+    from mimo_tpu.utils.linalg import inv_psd, logdet_psd
+    from mimo_tpu.utils.stats import gammaln_diff
+
+    if isinstance(models_post, TiedAffine):
+        models_post = to_packed_mnw(models_post)
+        affine = True
+    n, d = x.shape
+    k = log_pi.shape[0]
+    p_out = models_post.M.shape[-2]
+    has_y = y is not None
+    m = 1 + d + d * d
+    m_xy = m + p_out + d * p_out + p_out * p_out
+    m8 = -(-(m_xy if has_y else m) // 8) * 8
+
+    def pad_cols(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], m8 - a.shape[1]), jnp.float32)],
+            axis=-1) if a.shape[1] < m8 else a
+
+    # basis rows (x-features only)
+    bmu, blm, bdf = _basis_studentt_params(basis_post, d)
+    blmu = jnp.einsum('kde,ke->kd', blm, bmu)
+    th_b = jnp.concatenate(
+        [jnp.einsum('kd,kd->k', bmu, blmu)[:, None], -2.0 * blmu,
+         blm.reshape(k, d * d)], axis=-1)
+    b_aux = (gammaln_diff(0.5 * bdf, 0.5 * d)
+             + 0.5 * logdet_psd(blm)
+             - 0.5 * d * (jnp.log(bdf) + jnp.log(jnp.pi)) + log_pi)
+
+    # c-quad rows
+    g = inv_psd(models_post.K_)
+    if affine:
+        th_c = jnp.concatenate(
+            [g[:, -1, -1][:, None], 2.0 * g[:, :d, -1],
+             g[:, :d, :d].reshape(k, d * d)], axis=-1)
+    else:
+        th_c = jnp.concatenate(
+            [jnp.zeros((k, 1 + d), x.dtype), g.reshape(k, d * d)],
+            axis=-1)
+
+    # expert-mean rows, (j*K + k) order (j-major: the kernel reduces
+    # each output's (K, B) slice in 2D): mu_kj(x) = (M1 x + m0)_j
+    M = models_post.M                                   # (K, p, q)
+    m1 = M[:, :, :d]                                    # (K, p, d)
+    m0 = M[:, :, -1] if affine else jnp.zeros((k, p_out), x.dtype)
+    th_m = jnp.concatenate(
+        [m0.T.reshape(k * p_out, 1),
+         jnp.swapaxes(m1, 0, 1).reshape(k * p_out, d),
+         jnp.zeros((k * p_out, d * d), x.dtype)], axis=-1)
+
+    rows = [pad_cols(th_b.astype(jnp.float32)),
+            pad_cols(th_c.astype(jnp.float32)),
+            pad_cols(th_m.astype(jnp.float32))]
+
+    # expert predictive constants: df = nu - p + 1, scale base psi
+    ydf = models_post.nu - p_out + 1.0                  # (K,)
+    psi = models_post.psi                               # (K, p, p)
+    psi_inv = inv_psd(psi)
+    vcoef = (jnp.diagonal(psi_inv, axis1=-2, axis2=-1)
+             / jnp.maximum(ydf - 2.0, 1e-6)[:, None])   # (K, p)
+    y_aux = (gammaln_diff(0.5 * ydf, 0.5 * p_out)
+             + 0.5 * logdet_psd(psi) - 0.5 * p_out * jnp.log(jnp.pi))
+    y_h = 0.5 * (ydf + p_out)
+
+    if has_y:
+        # MVT quad rows over the joint features:
+        # (y - mu)' psi (y - mu), mu = M1 x + m0
+        pm1 = jnp.einsum('kpr,krd->kpd', psi, m1)       # psi M1
+        pm0 = jnp.einsum('kpr,kr->kp', psi, m0)         # psi m0
+        th_q = jnp.concatenate([
+            jnp.einsum('kp,kp->k', m0, pm0)[:, None],           # 1
+            2.0 * jnp.einsum('kp,kpd->kd', m0, pm1),            # x
+            jnp.einsum('kpd,kpe->kde', m1, pm1).reshape(k, d * d),
+            -2.0 * pm0,                                         # y
+            -2.0 * jnp.swapaxes(pm1, 1, 2).reshape(k, d * p_out),
+            psi.reshape(k, p_out * p_out),                      # y x y
+        ], axis=-1).astype(jnp.float32)
+        rows.append(pad_cols(th_q))
+    th = jnp.concatenate(rows, axis=0)
+
+    aux8 = jnp.stack(
+        [b_aux, 0.5 * (bdf + d), 1.0 / bdf, y_aux, y_h,
+         jnp.zeros_like(y_h), jnp.zeros_like(y_h), jnp.zeros_like(y_h)],
+        axis=-1).astype(jnp.float32)
+    p8 = -(-p_out // 8) * 8
+    vc8 = jnp.concatenate(
+        [vcoef, jnp.zeros((k, p8 - p_out), vcoef.dtype)],
+        axis=-1).astype(jnp.float32)
+
+    ro8 = -(-(2 * p_out + 2) // 8) * 8
+    n_rows_live = (3 + p_out) * k if has_y else (2 + p_out) * k
+    if block_size is None:
+        block_size = pick_pallas_block(n, rows=4 * m8 + 4 * n_rows_live
+                                       + 2 * ro8)
+    pad = (-n) % block_size
+    xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, pad)))
+    np_ = xt.shape[1]
+    ins = [xt]
+    in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)]
+    if has_y:
+        yt = jnp.pad(y.astype(jnp.float32).T, ((0, 0), (0, pad)))
+        ins.append(yt)
+        in_specs.append(pl.BlockSpec((p_out, block_size),
+                                     lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_ilr_p_predict_kernel, p_out, has_y,
+                          prediction == 'mode'),
+        grid=(np_ // block_size,),
+        in_specs=in_specs + [
+            pl.BlockSpec(th.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, p8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ro8, block_size), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ro8, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != 'tpu',
+    )(*ins, th, aux8, vc8)
+    mean = out[:p_out, :n].T
+    var = out[p_out:2 * p_out, :n].T
+    nlpd = out[2 * p_out, :n] if has_y else None
+    return mean, var, nlpd
+
 def _ilr_predict_kernel(has_y, hard, *refs):
     """Fused ILR predict (p=1 experts). refs = (x_ref, [y_ref], th_ref,
     aux_ref, out_ref); th_ref (3K, m8) rows = [basis-quad; c-quad;

@@ -51,6 +51,8 @@ _SLOW = {
     'test_fit_with_checkpoints_resume',
     'test_fused_estep_matches_dense',
     'test_fused_ilr_predict_matches_dense',
+    'test_fused_ilr_predict_multi_output',
+    'test_fused_nested_ilr_predict_multi_output',
     'test_fused_estep_pallas_matches_blockwise',
     'test_fused_refit_different_n',
     'test_gibbs_fused_sharded_runs',

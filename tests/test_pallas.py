@@ -419,7 +419,8 @@ def test_fused_ilr_predict_matches_dense(cfg):
 def test_fused_ilr_predict_backend_validation():
     """predict() rejects unknown backends, and backend='pallas' raises
     with an actionable message for configs the kernel can't serve
-    (p>1, gaussian predictives) instead of silently serving dense."""
+    (p>1 diag experts, gaussian predictives) instead of silently
+    serving dense."""
     from mimo_tpu.models.ilr import BayesianILR
     x = jnp.zeros((8, 1), jnp.float32)
     m1 = BayesianILR.make(size=3, input_dim=1, output_dim=1)
@@ -430,11 +431,75 @@ def test_fused_ilr_predict_backend_validation():
         m1.predict(st1, x, backend='cuda')
     with _pytest.raises(NotImplementedError, match='dense'):
         m1.predict(st1, x, dist='gaussian', backend='pallas')
-    m2 = BayesianILR.make(size=3, input_dim=1, output_dim=2)
+    m2 = BayesianILR.make(size=3, input_dim=1, output_dim=2, diag=True)
     st2 = m2._mf_update((x, jnp.zeros((8, 2), jnp.float32)),
                         jnp.full((8, 3), 1.0 / 3, jnp.float32))
     with _pytest.raises(NotImplementedError, match='dense'):
         m2.predict(st2, x, backend='pallas')
+
+
+@pytest.mark.parametrize('cfg', ['plain', 'mode', 'tied', 'noy'])
+def test_fused_ilr_predict_multi_output(cfg):
+    """p>1 fused serving (the joint (x, y) feature kernel): mean/var
+    diag/NLPD must match the dense path for d=2 -> p=3 experts —
+    average and mode, tied-affine re-pack, and the y-less call."""
+    from mimo_tpu.models.ilr import BayesianILR
+
+    rng = np.random.default_rng(17)
+    n, d, p = 1200, 2, 3
+    x = jnp.asarray(rng.uniform(-3, 3, (n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, p)), jnp.float32)
+    y = jnp.asarray(np.tanh(np.asarray(x) @ np.asarray(w))
+                    + 0.1 * rng.standard_normal((n, p)), jnp.float32)
+    m = BayesianILR.make(size=8, input_dim=d, output_dim=p, alpha=2.0,
+                         kappa=0.1, tied_affine=(cfg == 'tied'))
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=1, maxiter=40)
+    prediction = 'mode' if cfg == 'mode' else 'average'
+    yy = None if cfg == 'noy' else y
+    mu_d, var_d, _, nlpd_d = m.predict(st, x, yy, backend='xla',
+                                       prediction=prediction)
+    mu_f, var_f, _, nlpd_f = m.predict(st, x, yy, backend='pallas',
+                                       prediction=prediction)
+    assert mu_f.shape == (n, p) and var_f.shape == (n, p)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
+                               rtol=2e-3, atol=1e-4)
+    if yy is not None:
+        np.testing.assert_allclose(np.asarray(nlpd_f),
+                                   np.asarray(nlpd_d),
+                                   rtol=1e-3, atol=2e-3)
+    else:
+        assert nlpd_f is None and nlpd_d is None
+
+
+def test_fused_nested_ilr_predict_multi_output():
+    """Nested p>1 serving: (M, K) flatten + the joint-feature kernel
+    matches the dense two-level path."""
+    from mimo_tpu.models.hmix import BayesianMixtureOfMixtures
+
+    rng = np.random.default_rng(19)
+    n, d, p = 1000, 1, 2
+    x = jnp.asarray(rng.uniform(-3, 3, (n, d)), jnp.float32)
+    y = jnp.asarray(np.concatenate(
+        [np.sin(np.asarray(x)), np.cos(np.asarray(x))], axis=1)
+        + 0.1 * rng.standard_normal((n, p)), jnp.float32)
+    m = BayesianMixtureOfMixtures.make_ilr(
+        cluster_size=2, mixture_size=4, input_dim=d, output_dim=p,
+        kappa=0.1)
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=2, maxiter=30, maxsubiter=2)
+    mu_d, var_d, _, nlpd_d = m.predict(st, x, y, dist='studentt',
+                                       backend='xla')
+    mu_f, var_f, _, nlpd_f = m.predict(st, x, y, dist='studentt',
+                                       backend='pallas')
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nlpd_f), np.asarray(nlpd_d),
+                               rtol=1e-3, atol=2e-3)
 
 
 @pytest.mark.parametrize('prediction', ['average', 'mode'])
