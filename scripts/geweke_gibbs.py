@@ -50,6 +50,10 @@ def main(argv=None):
                     choices=['xla', 'pallas'],
                     help='pallas = the Mosaic on-core-PRNG label kernel '
                          '(f32; interpret mode off-TPU)')
+    ap.add_argument('--family', default='gmm', choices=['gmm', 'ilr'],
+                    help='gmm: NIW draws (Bartlett Wishart + Gaussian); '
+                         'ilr: adds the Matrix-Normal expert draws '
+                         '(composite.py:666-683 analogue)')
     ap.add_argument('--draws', type=int, default=20000)
     ap.add_argument('--thin', type=int, default=2,
                     help='transitions per collected draw')
@@ -80,40 +84,87 @@ def main(argv=None):
     dtype = jnp.float64 if (args.backend == 'xla' or args.f64) \
         else jnp.float32
     n, kk, d = args.n, args.k, args.dim
-    # moderately tight prior so prior-drawn data is non-degenerate (a
+    # moderately tight priors so prior-drawn data is non-degenerate (a
     # diffuse NIW makes both samplers produce huge-variance data and the
     # test loses power, not validity)
-    model = BayesianGMM.make(size=kk, dim=d, gating='stick-breaking',
-                             alpha=1.5, kappa=2.0, psi_scale=1.0,
-                             nu=float(d + 3), dtype=dtype)
+    if args.family == 'gmm':
+        model = BayesianGMM.make(size=kk, dim=d, gating='stick-breaking',
+                                 alpha=1.5, kappa=2.0, psi_scale=1.0,
+                                 nu=float(d + 3), dtype=dtype)
+
+        def generate(key, params, pi):
+            x, _ = BayesianGMM.generate(key, params, pi, n)
+            return (x,)
+
+        def stats_of(params, pi, data):
+            """(S,) permutation-SENSITIVE statistics (stick order is
+            real)."""
+            (x,) = data
+            lam = params.lmbda
+            return jnp.concatenate([
+                params.mu[:, 0],                      # K
+                logdet_psd(lam),                      # K (logdet Lambda_k)
+                jnp.trace(lam, axis1=-2, axis2=-1),   # K
+                pi,                                   # K
+                jnp.stack([jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
+                           jnp.mean(jnp.sum(x * x, -1))]),
+            ])
+
+        names = ([f'mu{j}_x0' for j in range(kk)]
+                 + [f'logdetL{j}' for j in range(kk)]
+                 + [f'trL{j}' for j in range(kk)]
+                 + [f'pi{j}' for j in range(kk)]
+                 + ['mean_x0', 'var_x0', 'mean_xx'])
+    else:
+        from mimo_tpu.models.ilr import BayesianILR
+        model = BayesianILR.make(size=kk, input_dim=d, output_dim=1,
+                                 gating='stick-breaking', alpha=1.5,
+                                 kappa=2.0, K_scale=1.0, psi_scale=1.0,
+                                 basis_psi_scale=1.0, dtype=dtype)
+
+        def generate(key, params, pi):
+            bp, ep = params
+            x, y, _ = BayesianILR.generate(key, bp, ep, pi, n,
+                                           affine=model.affine)
+            return (x, y)
+
+        def stats_of(params, pi, data):
+            x, y = data
+            bp, ep = params
+            return jnp.concatenate([
+                bp.mu[:, 0],                          # K basis means
+                logdet_psd(bp.lmbda),                 # K basis logdets
+                ep.A[:, 0, 0],                        # K slopes
+                ep.A[:, 0, -1],                       # K offsets
+                jnp.log(ep.lmbda[:, 0, 0]),           # K noise logdets
+                pi,                                   # K
+                jnp.stack([jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
+                           jnp.mean(y[:, 0]), jnp.var(y[:, 0]),
+                           jnp.mean(x[:, 0] * y[:, 0])]),
+            ])
+
+        names = ([f'bmu{j}' for j in range(kk)]
+                 + [f'blogdet{j}' for j in range(kk)]
+                 + [f'A{j}' for j in range(kk)]
+                 + [f'c{j}' for j in range(kk)]
+                 + [f'loglam{j}' for j in range(kk)]
+                 + [f'pi{j}' for j in range(kk)]
+                 + ['mean_x', 'var_x', 'mean_y', 'var_y', 'mean_xy'])
     spec = model._estep_spec()
     use_pallas = args.backend == 'pallas'
     block = 128 if use_pallas else n
-
-    def stats_of(params, pi, x):
-        """(S,) permutation-SENSITIVE statistics (stick order is real)."""
-        lam = params.lmbda
-        return jnp.concatenate([
-            params.mu[:, 0],                      # K
-            logdet_psd(lam),                      # K (logdet Lambda_k)
-            jnp.trace(lam, axis1=-2, axis2=-1),   # K
-            pi,                                   # K
-            jnp.stack([jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
-                       jnp.mean(jnp.sum(x * x, -1))]),
-        ])
 
     def prior_draw(key):
         k1, k2, k3 = jax.random.split(key, 3)
         params = model.family.sample_params(k1, model.components_prior)
         pi = model.gating_prior.sample(k2)
-        x, _ = BayesianGMM.generate(k3, params, pi, n)
-        return stats_of(params, pi, x)
+        return stats_of(params, pi, generate(k3, params, pi))
 
     if use_pallas:
         from mimo_tpu.ops.pallas_gibbs import fused_gibbs_pallas
         from mimo_tpu.models.mixture import _pallas_xts
 
-    def transition(key, params, pi, x):
+    def transition(key, params, pi, data):
         """ONE production Gibbs sweep: fused label sample -> conjugate
         posterior update -> parameter + stick draws (the exact sweep
         body of fit_gibbs_fused, mixture.py)."""
@@ -122,14 +173,14 @@ def main(argv=None):
         if use_pallas:
             seed = jax.random.randint(k_lab, (), 0, 2**31 - 1,
                                       dtype=jnp.int32)
-            xts = _pallas_xts((x,), block, None)
+            xts = _pallas_xts(data, block, None)
             _, res = fused_gibbs_pallas(spec, seed, params, log_pi, xts,
                                         block, n)
             res = jax.tree.map(lambda a: a.astype(dtype)
                                if a.dtype != jnp.int32 else a, res)
         else:
             _, res = fused_gibbs_blockwise(spec, k_lab, params, log_pi,
-                                           (x,), block)
+                                           data, block)
         comps = model.family.update(model.components_prior, res.stats)
         params = model.family.sample_params(k_par, comps)
         gating = model.gating_prior.update(res.counts)
@@ -139,14 +190,14 @@ def main(argv=None):
     def succ_step(carry, key):
         params, pi = carry
         k_d, k_t = jax.random.split(key)
-        x, _ = BayesianGMM.generate(k_d, params, pi, n)
+        data = generate(k_d, params, pi)
         for i in range(args.thin):
             params, pi = transition(jax.random.fold_in(k_t, i),
-                                    params, pi, x)
+                                    params, pi, data)
             if i + 1 < args.thin:     # fresh data between thinned sweeps
-                x, _ = BayesianGMM.generate(
-                    jax.random.fold_in(k_d, i + 1), params, pi, n)
-        return (params, pi), stats_of(params, pi, x)
+                data = generate(jax.random.fold_in(k_d, i + 1),
+                                params, pi)
+        return (params, pi), stats_of(params, pi, data)
 
     key = jax.random.PRNGKey(args.seed)
     k_prior, k_succ, k0 = jax.random.split(key, 3)
@@ -173,12 +224,6 @@ def main(argv=None):
     succ_stats = np.asarray(jax.device_get(succ_stats),
                             np.float64)[args.burn:]
 
-    names = ([f'mu{j}_x0' for j in range(kk)]
-             + [f'logdetL{j}' for j in range(kk)]
-             + [f'trL{j}' for j in range(kk)]
-             + [f'pi{j}' for j in range(kk)]
-             + ['mean_x0', 'var_x0', 'mean_xx'])
-
     def batch_means_se(a, nb=50):
         m = len(a) // nb
         bm = a[:nb * m].reshape(nb, m).mean(axis=1)
@@ -195,7 +240,8 @@ def main(argv=None):
         print(f'{name:<10} prior {pa.mean():+10.4f} succ {sb.mean():+10.4f}'
               f'  z {z:+6.2f}', flush=True)
     mx = max(abs(o['z']) for o in out)
-    print(json.dumps({'backend': args.backend, 'draws': args.draws,
+    print(json.dumps({'backend': args.backend, 'family': args.family,
+                      'draws': args.draws,
                       'thin': args.thin, 'max_abs_z': mx,
                       'n': n, 'k': kk, 'd': d,
                       'dtype': str(dtype.__name__ if hasattr(dtype,
