@@ -290,23 +290,21 @@ class BayesianILR(BayesianMixture):
         adds the input back onto the prediction (delta-dynamics models,
         ilr.py:411-413).
 
-        `backend`: 'auto' routes every studentt configuration (full
-        MNW incl. p>1 outputs, p=1 diag MNG, tied-affine, hier-basis;
-        'average' AND 'mode') through the fused Mosaic serving kernels
-        on TPU (ops/pallas_predict.py) — weights, moment matching, and
-        NLPD in one pass, no (N, K) intermediates; 'xla' forces the
-        dense path; 'pallas' REQUIRES the kernel path (raising if the
-        config can't ride it — p>1 diag experts or gaussian
-        predictives), running it in interpret mode off-TPU so the
-        model-level glue is testable on CPU."""
+        `backend`: 'auto' routes every studentt configuration — full
+        MNW / diag MNG / tied-affine experts, hier-basis, p=1 and p>1
+        outputs, 'average' AND 'mode' — through the fused Mosaic
+        serving kernels on TPU (ops/pallas_predict.py): weights, moment
+        matching, and NLPD in one pass, no (N, K) intermediates; 'xla'
+        forces the dense path; 'pallas' REQUIRES the kernel path
+        (raising for gaussian predictives, which stay dense), running
+        it in interpret mode off-TPU so the model-level glue is
+        testable on CPU."""
         if backend not in ('auto', 'xla', 'pallas'):
             raise ValueError(f'unknown backend: {backend!r}')
-        fused_ok = dist == 'studentt' and (self.output_dim == 1
-                                           or not self.diag)
+        fused_ok = dist == 'studentt'
         if backend == 'pallas' and not fused_ok:
             raise NotImplementedError(
-                'fused serving needs studentt predictives and p=1 '
-                'outputs for diag (MNG) experts; use '
+                'fused serving needs studentt predictives; use '
                 "backend='xla' (dense) for this config")
         xx = self._tx(x)
         if fused_ok and (backend == 'pallas' or

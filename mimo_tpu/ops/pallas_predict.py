@@ -346,15 +346,17 @@ def _ilr_joint_features_t(ts):
         + _rows_outer(yt, yt), axis=0)
 
 
-def _ilr_p_predict_kernel(p_out, has_y, hard, *refs):
+def _ilr_p_predict_kernel(p_out, has_y, hard, diag, *refs):
     """Fused ILR predict for p>1 outputs. refs = (x_ref, [y_ref],
-    th_ref, aux_ref, vc_ref, out_ref); th_ref ((2 + p)K [+ K], m8) rows
-    = [basis-quad; c-quad; expert-mean rows (k*p + j order); with y:
-    the MVT quad (y - M xt)' psi (y - M xt) over the joint features];
+    th_ref, aux_ref, vc_ref, out_ref); th_ref ((2 + p)K [+ K or pK],
+    m8) rows = [basis-quad; c-quad; expert-mean rows (j*K + k order);
+    with y: the MVT quad (y - M xt)' psi (y - M xt) — or, diag (MNG)
+    experts, the p scaled per-dim quads yc_kj^2/(2 beta_kj), j-major];
     aux_ref (K, 8) cols = [log_pi + basis_aux, basis_h, basis_1/df,
-    y_aux, y_h, 0...]; vc_ref (K, p8) per-(component, output) variance
-    coefficients (var_kj = c_k(x) vc_kj); out_ref (ro8, B) rows =
-    [mean (p), var (p), nlpd, lse_w, 0...]."""
+    y_aux, y_h, 0...]; vc_ref (K, 2*p8): per-(component, output)
+    variance coefficients (var_kj = c_k(x) vc_kj) then, diag, the
+    per-dim tail exponents h_kj = alpha_kj + 1/2; out_ref (ro8, B)
+    rows = [mean (p), var (p), nlpd, lse_w, 0...]."""
     x_ref = refs[0]
     y_ref = refs[1] if has_y else None
     th_ref, aux_ref, vc_ref, out_ref = refs[1 + has_y:]
@@ -404,11 +406,24 @@ def _ilr_p_predict_kernel(p_out, has_y, hard, *refs):
     mean = jnp.concatenate(means, axis=0)              # (p, B)
     var = jnp.concatenate(varis, axis=0)
 
-    if has_y:
+    if has_y and diag:
+        # product of per-dim univariate t tails, shared scale c
+        p8 = vc_ref.shape[1] // 2
+        inv_c = 1.0 / c
+        tails = 0.0
+        for j in range(p_out):
+            v_j = jnp.maximum(z[(2 + p_out + j) * k:
+                                (3 + p_out + j) * k], 0.0)
+            tails = tails + (vc_ref[:, p8 + j:p8 + j + 1]
+                             * jnp.log1p(v_j * inv_c))
+        lp_y = y_aux - 0.5 * p_out * jnp.log(c) - tails
+        s = lp_y + lw
+    elif has_y:
         bq = jnp.maximum(z[(2 + p_out) * k:], 0.0)     # (K, B)
         lp_y = (y_aux - 0.5 * p_out * jnp.log(c)
                 - y_h * jnp.log1p(bq * (1.0 / c)))
         s = lp_y + lw
+    if has_y:
         mxs = jnp.max(s, axis=0, keepdims=True)
         lse_s = mxs + jnp.log(jnp.sum(jnp.exp(s - mxs), axis=0,
                                       keepdims=True))
@@ -426,12 +441,16 @@ def _ilr_p_predict_kernel(p_out, has_y, hard, *refs):
 
 def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
                           affine, block_size, prediction):
-    """p>1 fused ILR serving (full MNW / tied-affine experts; NIW or
-    HierTied basis). One hi/lo-split dot over joint (x, y) features
-    produces basis quads, c quads, all K*p expert means, and the K MVT
-    quads; moment matching, variance diagonals, and NLPD follow
-    in-register. Returns (mean (N, p), var (N, p), nlpd (N,) | None)."""
+    """p>1 fused ILR serving (full MNW / tied-affine / diag MNG
+    experts; NIW or HierTied basis). One hi/lo-split dot over joint
+    (x, y) features produces basis quads, c quads, all K*p expert
+    means, and the NLPD quads — K MVT quads (MNW) or K*p scaled
+    per-dim quads (MNG, whose joint predictive is a product of
+    univariate t's sharing the scale c); moment matching, variance
+    diagonals, and NLPD follow in-register. Returns
+    (mean (N, p), var (N, p), nlpd (N,) | None)."""
     from mimo_tpu.distributions.affine import TiedAffine, to_packed_mnw
+    from mimo_tpu.distributions.mng import MNG
     from mimo_tpu.ops.pallas_estep import pick_pallas_block
     from mimo_tpu.utils.linalg import inv_psd, logdet_psd
     from mimo_tpu.utils.stats import gammaln_diff
@@ -439,6 +458,7 @@ def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
     if isinstance(models_post, TiedAffine):
         models_post = to_packed_mnw(models_post)
         affine = True
+    diag = isinstance(models_post, MNG)
     n, d = x.shape
     k = log_pi.shape[0]
     p_out = models_post.M.shape[-2]
@@ -487,17 +507,53 @@ def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
             pad_cols(th_c.astype(jnp.float32)),
             pad_cols(th_m.astype(jnp.float32))]
 
-    # expert predictive constants: df = nu - p + 1, scale base psi
-    ydf = models_post.nu - p_out + 1.0                  # (K,)
-    psi = models_post.psi                               # (K, p, p)
-    psi_inv = inv_psd(psi)
-    vcoef = (jnp.diagonal(psi_inv, axis1=-2, axis2=-1)
-             / jnp.maximum(ydf - 2.0, 1e-6)[:, None])   # (K, p)
-    y_aux = (gammaln_diff(0.5 * ydf, 0.5 * p_out)
-             + 0.5 * logdet_psd(psi) - 0.5 * p_out * jnp.log(jnp.pi))
-    y_h = 0.5 * (ydf + p_out)
+    # expert predictive constants
+    if diag:
+        alpha = models_post.alpha                       # (K, p)
+        beta = models_post.beta
+        vcoef = beta / jnp.maximum(alpha - 1.0, 1e-6)   # (K, p)
+        y_aux = jnp.sum(
+            gammaln_diff(alpha, 0.5)
+            + 0.5 * (jnp.log(alpha) - jnp.log(beta))
+            - 0.5 * (jnp.log(2.0 * alpha) + jnp.log(jnp.pi)), axis=-1)
+        y_h = jnp.zeros_like(y_aux)     # per-dim tails ride vc_ref
+        h_cols = alpha + 0.5                            # (K, p)
+    else:
+        ydf = models_post.nu - p_out + 1.0              # (K,)
+        psi = models_post.psi                           # (K, p, p)
+        psi_inv = inv_psd(psi)
+        vcoef = (jnp.diagonal(psi_inv, axis1=-2, axis2=-1)
+                 / jnp.maximum(ydf - 2.0, 1e-6)[:, None])   # (K, p)
+        y_aux = (gammaln_diff(0.5 * ydf, 0.5 * p_out)
+                 + 0.5 * logdet_psd(psi)
+                 - 0.5 * p_out * jnp.log(jnp.pi))
+        y_h = 0.5 * (ydf + p_out)
+        h_cols = jnp.zeros_like(vcoef)
 
-    if has_y:
+    if has_y and diag:
+        # K*p scaled per-dim quad rows (j-major): yc_kj^2 / (2 beta_kj)
+        # with yc_kj = y_j - (M1 x + m0)_j, over the joint features
+        rj = (0.5 / beta).T                             # (p, K)
+        m1j = jnp.swapaxes(m1, 0, 1)                    # (p, K, d)
+        m0j = m0.T                                      # (p, K)
+        eye = jnp.eye(p_out, dtype=x.dtype)
+        xx = (m1j[:, :, :, None] * m1j[:, :, None, :]).reshape(
+            p_out, k, d * d)
+        xy = (m1j[:, :, :, None]
+              * eye[:, None, None, :]).reshape(p_out, k, d * p_out)
+        yy = jnp.broadcast_to(
+            (eye[:, :, None] * eye[:, None, :]).reshape(
+                p_out, 1, p_out * p_out), (p_out, k, p_out * p_out))
+        th_q = jnp.concatenate([
+            (rj * m0j * m0j)[:, :, None],                       # 1
+            2.0 * (rj * m0j)[:, :, None] * m1j,                 # x
+            rj[:, :, None] * xx,                                # x (x) x
+            -2.0 * (rj * m0j)[:, :, None] * eye[:, None, :],    # y
+            -2.0 * rj[:, :, None] * xy,                         # x (x) y
+            rj[:, :, None] * yy,                                # y (x) y
+        ], axis=-1).reshape(p_out * k, -1).astype(jnp.float32)
+        rows.append(pad_cols(th_q))
+    elif has_y:
         # MVT quad rows over the joint features:
         # (y - mu)' psi (y - mu), mu = M1 x + m0
         pm1 = jnp.einsum('kpr,krd->kpd', psi, m1)       # psi M1
@@ -515,15 +571,18 @@ def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
 
     aux8 = jnp.stack(
         [b_aux, 0.5 * (bdf + d), 1.0 / bdf, y_aux, y_h,
-         jnp.zeros_like(y_h), jnp.zeros_like(y_h), jnp.zeros_like(y_h)],
+         jnp.zeros_like(y_aux), jnp.zeros_like(y_aux),
+         jnp.zeros_like(y_aux)],
         axis=-1).astype(jnp.float32)
     p8 = -(-p_out // 8) * 8
     vc8 = jnp.concatenate(
-        [vcoef, jnp.zeros((k, p8 - p_out), vcoef.dtype)],
+        [vcoef, jnp.zeros((k, p8 - p_out), vcoef.dtype),
+         h_cols, jnp.zeros((k, p8 - p_out), h_cols.dtype)],
         axis=-1).astype(jnp.float32)
 
     ro8 = -(-(2 * p_out + 2) // 8) * 8
-    n_rows_live = (3 + p_out) * k if has_y else (2 + p_out) * k
+    extra = (p_out * k if diag else k) if has_y else 0
+    n_rows_live = (2 + p_out) * k + extra
     if block_size is None:
         block_size = pick_pallas_block(n, rows=4 * m8 + 4 * n_rows_live
                                        + 2 * ro8)
@@ -541,14 +600,14 @@ def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
                                      memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         functools.partial(_ilr_p_predict_kernel, p_out, has_y,
-                          prediction == 'mode'),
+                          prediction == 'mode', diag),
         grid=(np_ // block_size,),
         in_specs=in_specs + [
             pl.BlockSpec(th.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, p8), lambda i: (0, 0),
+            pl.BlockSpec((k, 2 * p8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((ro8, block_size), lambda i: (0, i),
                                memory_space=pltpu.VMEM),

@@ -102,20 +102,22 @@ def main():
     w2 = jax.random.normal(jax.random.fold_in(key, 2), (d2, p2))
     y2 = jnp.tanh(x2 @ w2) + 0.1 * jax.random.normal(
         jax.random.fold_in(key, 3), (N, p2))
-    m = BayesianILR.make(size=50, input_dim=d2, output_dim=p2,
-                         alpha=2.0, kappa=0.1)
-    m.init_transform(x2[:2**20], y2[:2**20])
-    st, _ = m.fit_vi((x2[:2**20], y2[:2**20]), key=1, maxiter=10)
-    fk = jax.jit(lambda s, xx, yy: m.predict(s, xx, yy,
-                                             backend='pallas'))
-    fd = jax.jit(lambda s, xx, yy: m.predict(s, xx, yy, backend='xla'))
-    err = probe_err(fk(st, x2[:16384], y2[:16384]),
-                    fd(st, x2[:16384], y2[:16384]))
-    rk, rd = rate(fk, st, x2, y2), rate(fd, st, x2, y2)
-    name = 'ILR multi-output (p=3)'
-    rows.append((name, 'predict', rk, rd, err))
-    print(f'{name:<28} kernel {rk/1e6:7.0f}M  dense {rd/1e6:7.0f}M '
-          f' probe|diff| {err:.2e}', flush=True)
+    for name, kw in (('ILR multi-output (p=3)', {}),
+                     ('ILR multi-output diag (p=3)', dict(diag=True))):
+        m = BayesianILR.make(size=50, input_dim=d2, output_dim=p2,
+                             alpha=2.0, kappa=0.1, **kw)
+        m.init_transform(x2[:2**20], y2[:2**20])
+        st, _ = m.fit_vi((x2[:2**20], y2[:2**20]), key=1, maxiter=10)
+        fk = jax.jit(lambda s, xx, yy: m.predict(s, xx, yy,
+                                                 backend='pallas'))
+        fd = jax.jit(lambda s, xx, yy: m.predict(s, xx, yy,
+                                                 backend='xla'))
+        err = probe_err(fk(st, x2[:16384], y2[:16384]),
+                        fd(st, x2[:16384], y2[:16384]))
+        rk, rd = rate(fk, st, x2, y2), rate(fd, st, x2, y2)
+        rows.append((name, 'predict', rk, rd, err))
+        print(f'{name:<28} kernel {rk/1e6:7.0f}M  dense {rd/1e6:7.0f}M '
+              f' probe|diff| {err:.2e}', flush=True)
 
     # ---- nested ILR (M*K flatten) --------------------------------------
     hm = BayesianMixtureOfMixtures.make_ilr(

@@ -418,9 +418,9 @@ def test_fused_ilr_predict_matches_dense(cfg):
 
 def test_fused_ilr_predict_backend_validation():
     """predict() rejects unknown backends, and backend='pallas' raises
-    with an actionable message for configs the kernel can't serve
-    (p>1 diag experts, gaussian predictives) instead of silently
-    serving dense."""
+    with an actionable message for the one config the kernels don't
+    serve (gaussian predictive weights) instead of silently serving
+    dense."""
     from mimo_tpu.models.ilr import BayesianILR
     x = jnp.zeros((8, 1), jnp.float32)
     m1 = BayesianILR.make(size=3, input_dim=1, output_dim=1)
@@ -431,18 +431,14 @@ def test_fused_ilr_predict_backend_validation():
         m1.predict(st1, x, backend='cuda')
     with _pytest.raises(NotImplementedError, match='dense'):
         m1.predict(st1, x, dist='gaussian', backend='pallas')
-    m2 = BayesianILR.make(size=3, input_dim=1, output_dim=2, diag=True)
-    st2 = m2._mf_update((x, jnp.zeros((8, 2), jnp.float32)),
-                        jnp.full((8, 3), 1.0 / 3, jnp.float32))
-    with _pytest.raises(NotImplementedError, match='dense'):
-        m2.predict(st2, x, backend='pallas')
 
 
-@pytest.mark.parametrize('cfg', ['plain', 'mode', 'tied', 'noy'])
+@pytest.mark.parametrize('cfg', ['plain', 'mode', 'tied', 'noy', 'diag'])
 def test_fused_ilr_predict_multi_output(cfg):
     """p>1 fused serving (the joint (x, y) feature kernel): mean/var
     diag/NLPD must match the dense path for d=2 -> p=3 experts —
-    average and mode, tied-affine re-pack, and the y-less call."""
+    average and mode, tied-affine re-pack, diag (MNG, product of
+    per-dim t tails), and the y-less call."""
     from mimo_tpu.models.ilr import BayesianILR
 
     rng = np.random.default_rng(17)
@@ -452,7 +448,8 @@ def test_fused_ilr_predict_multi_output(cfg):
     y = jnp.asarray(np.tanh(np.asarray(x) @ np.asarray(w))
                     + 0.1 * rng.standard_normal((n, p)), jnp.float32)
     m = BayesianILR.make(size=8, input_dim=d, output_dim=p, alpha=2.0,
-                         kappa=0.1, tied_affine=(cfg == 'tied'))
+                         kappa=0.1, tied_affine=(cfg == 'tied'),
+                         diag=(cfg == 'diag'))
     m.init_transform(x, y)
     st, _ = m.fit_vi((x, y), key=1, maxiter=40)
     prediction = 'mode' if cfg == 'mode' else 'average'
