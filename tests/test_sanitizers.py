@@ -96,3 +96,48 @@ def test_stick_breaking_kl_finite_at_huge_counts():
     post = prior.update(counts)
     assert bool(jnp.all(post.delta >= prior.delta))
     assert bool(jnp.isfinite(post.kl_divergence(prior)))
+
+
+def test_fused_engines_nan_workflow_via_compaction(data):
+    """The big-N NaN workflow for the FUSED engines: compact NaN rows
+    host-side (nan_mask -> boolean drop, a one-time preprocessing cost)
+    and run the fused engine on the clean subset — the Mosaic/XLA
+    fused paths accept any N (pad + tail mask), so no point_weights
+    plumbing is needed in the kernels. Statistics equality: fused
+    E-step on the compacted data == dense weighted suff_stats on the
+    full data with zero weights on NaN rows."""
+    from mimo_tpu.ops.family_estep import fused_estep_blockwise
+
+    x = np.asarray(data).copy()
+    x[::7] = np.nan
+    xj = jnp.asarray(x)
+    xm, w = nan_mask(xj)
+    clean = jnp.asarray(x[~np.isnan(x).any(axis=1)])
+
+    m = BayesianGMM.make(size=4, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    resp = jnp.full((x.shape[0], 4), 0.25, jnp.float64)
+    st = m._mf_update((xm,), resp, point_weights=w)
+
+    # dense weighted stats on the full array (masked rows zero-weight)
+    resp_w = resp * w[:, None]
+    stats_dense = m.family.suff_stats((xm,), resp_w)
+
+    # fused E-step on the COMPACTED array at a fixed state
+    spec = m._estep_spec()
+    log_pi = st.gating.expected_log_pi()
+    res = fused_estep_blockwise(spec, st.components, log_pi,
+                                (clean,), block_size=73)
+    # same state's dense E-step on the compacted array: responsibilities
+    # then stats — both must equal (the engines' per-sweep quantities)
+    resp_c = m.expected_responsibilities(st, (clean,))
+    stats_c = m.family.suff_stats((clean,), resp_c)
+    for a, b in zip(jax.tree.leaves(res.stats), jax.tree.leaves(stats_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9)
+    # and a full fused fit on the compacted subset runs and converges
+    st2, vlb = m.fit_vi_fused(clean, key=1, maxiter=20, block_size=73)
+    assert bool(jnp.isfinite(vlb[-1]))
+    # first-sweep stat totals: compacted fused == dense masked (both
+    # count exactly sum(w) effective points)
+    assert np.isclose(float(jnp.sum(res.counts)), float(jnp.sum(resp_w)))
