@@ -1161,7 +1161,8 @@ class BayesianMixtureOfMixtures:
         return jnp.moveaxis(mus, 0, 1), jnp.moveaxis(covs, 0, 1)
 
     def predict(self, state: HMixState, x, y=None, prediction='average',
-                dist='gaussian', incremental=False, backend='auto'):
+                dist='gaussian', incremental=False, backend='auto',
+                mesh=None):
         """Two-level posterior-predictive regression (hilr.py:573-609):
         mode picks the argmax over all M*K experts, average moment-matches
         the full two-level mixture. Returns (mean, var, std, nlpd).
@@ -1190,7 +1191,8 @@ class BayesianMixtureOfMixtures:
                 "backend='xla' (dense) for this config")
         if fused_ok and (backend == 'pallas' or
                          (backend == 'auto'
-                          and jax.default_backend() == 'tpu')):
+                          and (jax.default_backend() == 'tpu'
+                               or mesh is not None))):
             flat = jax.tree.map(
                 lambda a: a.reshape((-1,) + a.shape[2:]),
                 (basis_post, models_post))
@@ -1204,7 +1206,7 @@ class BayesianMixtureOfMixtures:
                 from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
                 mu1, var1, nlpd = ilr_predict_pallas(
                     flat[0], flat[1], log_w, xx, yy, self.affine,
-                    prediction=prediction)
+                    prediction=prediction, mesh=mesh)
                 mu = mu1[:, None].astype(dtype)
                 var = var1[:, None].astype(dtype)
             else:
@@ -1212,7 +1214,7 @@ class BayesianMixtureOfMixtures:
                     _ilr_p_predict_pallas)
                 mu, var, nlpd = _ilr_p_predict_pallas(
                     flat[0], flat[1], log_w, xx, yy, self.affine,
-                    None, prediction)
+                    None, prediction, mesh=mesh)
                 mu = mu.astype(dtype)
                 var = var.astype(dtype)
             if nlpd is not None:

@@ -282,7 +282,8 @@ class BayesianILR(BayesianMixture):
         return fn(models_post, xa, y)
 
     def predict(self, state: MFState, x, y=None, prediction='average',
-                dist='studentt', incremental=False, backend='auto'):
+                dist='studentt', incremental=False, backend='auto',
+                mesh=None):
         """Posterior-predictive regression (ilr.py:374-430).
 
         Returns (mean, var_diag, std, nlpd) with nlpd None unless y given.
@@ -298,7 +299,8 @@ class BayesianILR(BayesianMixture):
         forces the dense path; 'pallas' REQUIRES the kernel path
         (raising for gaussian predictives, which stay dense), running
         it in interpret mode off-TPU so the model-level glue is
-        testable on CPU."""
+        testable on CPU. With `mesh` the kernel serves data-parallel
+        per-device under shard_map (no collective)."""
         if backend not in ('auto', 'xla', 'pallas'):
             raise ValueError(f'unknown backend: {backend!r}')
         fused_ok = dist == 'studentt'
@@ -309,7 +311,8 @@ class BayesianILR(BayesianMixture):
         xx = self._tx(x)
         if fused_ok and (backend == 'pallas' or
                          (backend == 'auto'
-                          and jax.default_backend() == 'tpu')):
+                          and (jax.default_backend() == 'tpu'
+                               or mesh is not None))):
             basis_post, models_post = state.components
             yy = self._ty(y) if y is not None else None
             dtype = xx.dtype
@@ -318,7 +321,7 @@ class BayesianILR(BayesianMixture):
                 from mimo_tpu.ops.pallas_predict import ilr_predict_pallas
                 mu1, var1, nlpd = ilr_predict_pallas(
                     basis_post, models_post, log_w, xx, yy, self.affine,
-                    prediction=prediction)
+                    prediction=prediction, mesh=mesh)
                 mu = mu1[:, None].astype(dtype)
                 var = var1[:, None].astype(dtype)
             else:
@@ -326,7 +329,7 @@ class BayesianILR(BayesianMixture):
                     _ilr_p_predict_pallas)
                 mu, var, nlpd = _ilr_p_predict_pallas(
                     basis_post, models_post, log_w, xx, yy, self.affine,
-                    None, prediction)
+                    None, prediction, mesh=mesh)
                 mu = mu.astype(dtype)
                 var = var.astype(dtype)
             if nlpd is not None:

@@ -440,7 +440,7 @@ def _ilr_p_predict_kernel(p_out, has_y, hard, diag, *refs):
 
 
 def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
-                          affine, block_size, prediction):
+                          affine, block_size, prediction, mesh=None):
     """p>1 fused ILR serving (full MNW / tied-affine / diag MNG
     experts; NIW or HierTied basis). One hi/lo-split dot over joint
     (x, y) features produces basis quads, c quads, all K*p expert
@@ -583,39 +583,69 @@ def _ilr_p_predict_pallas(basis_post, models_post, log_pi, x, y,
     ro8 = -(-(2 * p_out + 2) // 8) * 8
     extra = (p_out * k if diag else k) if has_y else 0
     n_rows_live = (2 + p_out) * k + extra
-    if block_size is None:
-        block_size = pick_pallas_block(n, rows=4 * m8 + 4 * n_rows_live
-                                       + 2 * ro8)
-    pad = (-n) % block_size
-    xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, pad)))
-    np_ = xt.shape[1]
-    ins = [xt]
-    in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)]
-    if has_y:
-        yt = jnp.pad(y.astype(jnp.float32).T, ((0, 0), (0, pad)))
-        ins.append(yt)
-        in_specs.append(pl.BlockSpec((p_out, block_size),
-                                     lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-    out = pl.pallas_call(
-        functools.partial(_ilr_p_predict_kernel, p_out, has_y,
-                          prediction == 'mode', diag),
-        grid=(np_ // block_size,),
-        in_specs=in_specs + [
-            pl.BlockSpec(th.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 2 * p8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((ro8, block_size), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ro8, np_), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=jax.default_backend() != 'tpu',
-    )(*ins, th, aux8, vc8)
+    rows_est = 4 * m8 + 4 * n_rows_live + 2 * ro8
+
+    def call(th, aux8, vc8, xt, *yts):
+        np_ = xt.shape[1]
+        ins = [xt]
+        in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+        if has_y:
+            ins.append(yts[0])
+            in_specs.append(pl.BlockSpec((p_out, block_size),
+                                         lambda i: (0, i),
+                                         memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            functools.partial(_ilr_p_predict_kernel, p_out, has_y,
+                              prediction == 'mode', diag),
+            grid=(np_ // block_size,),
+            in_specs=in_specs + [
+                pl.BlockSpec(th.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 2 * p8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((ro8, block_size), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ro8, np_), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != 'tpu',
+        )(*ins, th, aux8, vc8)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_shards = mesh.shape['data']
+        if block_size is None:
+            block_size = pick_pallas_block(-(-n // n_shards),
+                                           rows=rows_est)
+        mult = block_size * n_shards
+        col_sh = NamedSharding(mesh, P(None, 'data'))
+        xt = jax.lax.with_sharding_constraint(
+            jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, (-n) % mult))),
+            col_sh)
+        args = (th, aux8, vc8, xt)
+        specs = (P(), P(), P(), P(None, 'data'))
+        if has_y:
+            yt = jax.lax.with_sharding_constraint(
+                jnp.pad(y.astype(jnp.float32).T,
+                        ((0, 0), (0, (-n) % mult))), col_sh)
+            args = args + (yt,)
+            specs = specs + (P(None, 'data'),)
+        out = jax.shard_map(call, mesh=mesh, in_specs=specs,
+                            out_specs=P(None, 'data'),
+                            check_vma=False)(*args)
+    else:
+        if block_size is None:
+            block_size = pick_pallas_block(n, rows=rows_est)
+        pad = (-n) % block_size
+        xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, pad)))
+        args = (th, aux8, vc8, xt)
+        if has_y:
+            args = args + (jnp.pad(y.astype(jnp.float32).T,
+                                   ((0, 0), (0, pad))),)
+        out = call(*args)
     mean = out[:p_out, :n].T
     var = out[p_out:2 * p_out, :n].T
     nlpd = out[2 * p_out, :n] if has_y else None
@@ -766,7 +796,8 @@ def _expert_rows(models_post, affine, d, k, dtype):
 
 
 def ilr_predict_pallas(basis_post, models_post, log_pi, x, y=None,
-                       affine=True, block_size=None, prediction='average'):
+                       affine=True, block_size=None, prediction='average',
+                       mesh=None):
     """Fused ILR posterior-predictive regression for scalar-output
     (p=1) experts — the flagship serving path (reference ilr.py:374-430):
     input-conditional Student-t expert weights, moment-matched mixture
@@ -775,7 +806,10 @@ def ilr_predict_pallas(basis_post, models_post, log_pi, x, y=None,
     pass over HBM-resident x. Basis: NIW or HierTied (hierarchical);
     experts: full MNW, tied-affine (re-packed), or diagonal MNG.
     Everything is computed in STANDARDIZED space — the model wrapper
-    applies the output transform / Jacobian. Returns
+    applies the output transform / Jacobian. With `mesh`, data-parallel
+    serving: the kernel runs per-device under shard_map over the 'data'
+    axis with NO collective (the output rows stay sharded), as
+    gauss_predictive_pallas. Returns
     (mean (N,), var (N,), nlpd (N,) | None)."""
     from mimo_tpu.ops.pallas_estep import pick_pallas_block
     from mimo_tpu.utils.linalg import logdet_psd
@@ -808,40 +842,68 @@ def ilr_predict_pallas(basis_post, models_post, log_pi, x, y=None,
         [b_aux, 0.5 * (bdf + d), 1.0 / bdf, vcoef, psi, y_aux, y_h,
          jnp.zeros_like(psi)], axis=-1).astype(jnp.float32)
 
-    if block_size is None:
-        block_size = pick_pallas_block(n, rows=4 * m8 + 8 * k)
-    pad = (-n) % block_size
-    xt = x.astype(jnp.float32).T
-    if pad:
-        xt = jnp.pad(xt, ((0, 0), (0, pad)))
-    np_ = xt.shape[1]
     has_y = y is not None
-    ins = [xt]
-    in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)]
-    if has_y:
-        yt = y.astype(jnp.float32).T                    # (1, N)
-        if pad:
-            yt = jnp.pad(yt, ((0, 0), (0, pad)))
-        ins.append(yt)
-        in_specs.append(pl.BlockSpec((1, block_size), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-    out = pl.pallas_call(
-        functools.partial(_ilr_predict_kernel, has_y,
-                          prediction == 'mode'),
-        grid=(np_ // block_size,),
-        in_specs=in_specs + [
-            pl.BlockSpec((3 * k, m8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, block_size), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, np_), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=jax.default_backend() != 'tpu',
-    )(*ins, th, aux8)
+
+    def call(th, aux8, xt, *yts):
+        np_ = xt.shape[1]
+        ins = [xt]
+        in_specs = [pl.BlockSpec((d, block_size), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+        if has_y:
+            ins.append(yts[0])
+            in_specs.append(pl.BlockSpec((1, block_size),
+                                         lambda i: (0, i),
+                                         memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            functools.partial(_ilr_predict_kernel, has_y,
+                              prediction == 'mode'),
+            grid=(np_ // block_size,),
+            in_specs=in_specs + [
+                pl.BlockSpec((3 * k, m8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, block_size), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, np_), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=jax.default_backend() != 'tpu',
+        )(*ins, th, aux8)
+
+    rows_est = 4 * m8 + 8 * k
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_shards = mesh.shape['data']
+        if block_size is None:
+            block_size = pick_pallas_block(-(-n // n_shards),
+                                           rows=rows_est)
+        mult = block_size * n_shards
+        col_sh = NamedSharding(mesh, P(None, 'data'))
+        xt = jax.lax.with_sharding_constraint(
+            jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, (-n) % mult))),
+            col_sh)
+        args = (th, aux8, xt)
+        specs = (P(), P(), P(None, 'data'))
+        if has_y:
+            yt = jax.lax.with_sharding_constraint(
+                jnp.pad(y.astype(jnp.float32).T,
+                        ((0, 0), (0, (-n) % mult))), col_sh)
+            args = args + (yt,)
+            specs = specs + (P(None, 'data'),)
+        out = jax.shard_map(call, mesh=mesh, in_specs=specs,
+                            out_specs=P(None, 'data'),
+                            check_vma=False)(*args)
+    else:
+        if block_size is None:
+            block_size = pick_pallas_block(n, rows=rows_est)
+        pad = (-n) % block_size
+        xt = jnp.pad(x.astype(jnp.float32).T, ((0, 0), (0, pad)))
+        args = (th, aux8, xt)
+        if has_y:
+            args = args + (jnp.pad(y.astype(jnp.float32).T,
+                                   ((0, 0), (0, pad))),)
+        out = call(*args)
     mean = out[0, :n]
     var = out[1, :n]
     nlpd = out[2, :n] if has_y else None

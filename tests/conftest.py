@@ -85,6 +85,7 @@ _SLOW = {
     'test_ilr_fused_gibbs_recovers',
     'test_ilr_pallas_estep_matches_blockwise',
     'test_ilr_pallas_sharded_equals_unsharded',
+    'test_ilr_predict_sharded_kernel_equals_dense',
     'test_ilr_sharded_vi',
     'test_ilr_step_end_to_end_parity',
     'test_ilr_tied_affine_and_hier_basis_fused',

@@ -383,3 +383,36 @@ def test_hmix_log_predictive_sharded_kernel_equals_dense():
     lp_mesh = hm.log_predictive(st, x, mesh=mesh)
     np.testing.assert_allclose(np.asarray(lp_mesh), np.asarray(lp_dense),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ilr_predict_sharded_kernel_equals_dense():
+    """Data-parallel ILR serving (round 4): predict(mesh=) runs the
+    fused serving kernel per-device under shard_map (no collective) and
+    must match the dense replicated path — p=1 and p>1."""
+    from mimo_tpu.models.ilr import BayesianILR
+    rng = np.random.default_rng(23)
+    mesh = make_mesh()
+    n = 1600
+    x = jnp.asarray(rng.uniform(-5, 5, (n, 1)), jnp.float64)
+    y = jnp.asarray(np.sin(np.asarray(x))
+                    + 0.1 * rng.standard_normal((n, 1)), jnp.float64)
+    m = BayesianILR.make(size=10, input_dim=1, output_dim=1, alpha=2.0,
+                         kappa=0.05, dtype=jnp.float64)
+    m.init_transform(x, y)
+    st, _ = m.fit_vi((x, y), key=1, maxiter=30)
+    d_out = m.predict(st, x, y, backend='xla')
+    k_out = m.predict(st, x, y, mesh=mesh)     # auto + mesh -> kernel
+    for a, b in zip(k_out[:2] + (k_out[3],), d_out[:2] + (d_out[3],)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    # p>1 (the joint-feature kernel) under shard_map
+    y3 = jnp.concatenate([y, -y, 2 * y], axis=1)
+    m3 = BayesianILR.make(size=10, input_dim=1, output_dim=3, alpha=2.0,
+                          kappa=0.05, dtype=jnp.float64)
+    m3.init_transform(x, y3)
+    st3, _ = m3.fit_vi((x, y3), key=1, maxiter=30)
+    d3 = m3.predict(st3, x, y3, backend='xla')
+    k3 = m3.predict(st3, x, y3, mesh=mesh)
+    for a, b in zip(k3[:2] + (k3[3],), d3[:2] + (d3[3],)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
