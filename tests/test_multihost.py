@@ -21,10 +21,15 @@ SCRIPT = os.path.join(REPO, 'scripts', 'multihost_cpu.py')
 
 
 @pytest.mark.slow
-def test_two_process_global_mesh_matches_single_process():
+@pytest.mark.parametrize('nprocs,devices', [(2, 2), (4, 1)])
+def test_multi_process_global_mesh_matches_single_process(nprocs,
+                                                          devices):
+    """2 procs x 2 devices AND 4 procs x 1 device — both form the same
+    4-device global mesh and must equal the 1-process oracle (process-
+    count invariance at two different process topologies)."""
     p = subprocess.run(
-        [sys.executable, SCRIPT, '--nprocs', '2', '--devices', '2',
-         '--timeout', '540'],
+        [sys.executable, SCRIPT, '--nprocs', str(nprocs),
+         '--devices', str(devices), '--timeout', '540'],
         cwd=REPO, capture_output=True, text=True, timeout=600)
     assert p.returncode == 0, p.stdout + p.stderr
     result = json.loads(p.stdout.strip().splitlines()[-1])
