@@ -1174,7 +1174,8 @@ class BayesianMixtureOfMixtures:
         softmax over log mix-weights + basis logpdf; 'xla' forces the
         dense path; 'pallas' REQUIRES the kernel path (raising when the
         config can't ride it), running in interpret mode off-TPU so the
-        model-level glue is testable on CPU."""
+        model-level glue is testable on CPU. With `mesh` the kernel
+        serves data-parallel per-device under shard_map."""
         if self.kind != 'ilr':
             raise ValueError('predict() is for make_ilr models; use '
                              'log_predictive for density models')
