@@ -98,7 +98,11 @@ def main(argv=None):
 
         def stats_of(params, pi, data):
             """(S,) permutation-SENSITIVE statistics (stick order is
-            real)."""
+            real). Data moments pass through arcsinh — the predictive
+            tails are Student-t with df ~ nu-d+1, so RAW sample
+            variances are too heavy-tailed for a CLT-based z (and can
+            overflow f32); arcsinh is monotone, applied identically to
+            both samplers, so equality of marginals is preserved."""
             (x,) = data
             lam = params.lmbda
             return jnp.concatenate([
@@ -106,8 +110,9 @@ def main(argv=None):
                 logdet_psd(lam),                      # K (logdet Lambda_k)
                 jnp.trace(lam, axis1=-2, axis2=-1),   # K
                 pi,                                   # K
-                jnp.stack([jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
-                           jnp.mean(jnp.sum(x * x, -1))]),
+                jnp.arcsinh(jnp.stack([
+                    jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
+                    jnp.mean(jnp.sum(x * x, -1))])),
             ])
 
         names = ([f'mu{j}_x0' for j in range(kk)]
@@ -129,6 +134,10 @@ def main(argv=None):
             return (x, y)
 
         def stats_of(params, pi, data):
+            """Data moments arcsinh-stabilized (see the gmm variant):
+            prior-drawn expert precisions put Student-t-like tails on
+            y whose raw sample variance overflows f32 once in ~1e4
+            draws and breaks the CLT z even in f64."""
             x, y = data
             bp, ep = params
             return jnp.concatenate([
@@ -138,9 +147,10 @@ def main(argv=None):
                 ep.A[:, 0, -1],                       # K offsets
                 jnp.log(ep.lmbda[:, 0, 0]),           # K noise logdets
                 pi,                                   # K
-                jnp.stack([jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
-                           jnp.mean(y[:, 0]), jnp.var(y[:, 0]),
-                           jnp.mean(x[:, 0] * y[:, 0])]),
+                jnp.arcsinh(jnp.stack([
+                    jnp.mean(x[:, 0]), jnp.var(x[:, 0]),
+                    jnp.mean(y[:, 0]), jnp.var(y[:, 0]),
+                    jnp.mean(x[:, 0] * y[:, 0])])),
             ])
 
         names = ([f'bmu{j}' for j in range(kk)]
@@ -224,6 +234,32 @@ def main(argv=None):
     succ_stats = np.asarray(jax.device_get(succ_stats),
                             np.float64)[args.burn:]
 
+    # non-finite draws (possible at f32 from astronomically-deep tails
+    # even after arcsinh, e.g. an inf inside a component's logdet):
+    # count PER SIDE and drop, loudly — silently nan-propagating means
+    # would void every z
+    bad_p = ~np.isfinite(prior_stats).all(axis=1)
+    bad_s = ~np.isfinite(succ_stats).all(axis=1)
+    if bad_p.any() or bad_s.any():
+        runs = []
+        in_run = False
+        for i, b in enumerate(bad_s):
+            if b and not in_run:
+                runs.append([i, i])
+                in_run = True
+            elif b:
+                runs[-1][1] = i
+            else:
+                in_run = False
+        print(f'WARNING: dropped non-finite draws: prior '
+              f'{int(bad_p.sum())}/{len(bad_p)}, successive '
+              f'{int(bad_s.sum())}/{len(bad_s)} in {len(runs)} run(s) '
+              f'{runs[:5]}', flush=True)
+    assert bad_p.mean() < 0.01 and bad_s.mean() < 0.01, \
+        'too many non-finite draws — investigate before trusting z'
+    prior_stats = prior_stats[~bad_p]
+    succ_stats = succ_stats[~bad_s]
+
     def batch_means_se(a, nb=50):
         m = len(a) // nb
         bm = a[:nb * m].reshape(nb, m).mean(axis=1)
@@ -242,6 +278,8 @@ def main(argv=None):
     mx = max(abs(o['z']) for o in out)
     print(json.dumps({'backend': args.backend, 'family': args.family,
                       'draws': args.draws,
+                      'dropped_prior': int(bad_p.sum()),
+                      'dropped_succ': int(bad_s.sum()),
                       'thin': args.thin, 'max_abs_z': mx,
                       'n': n, 'k': kk, 'd': d,
                       'dtype': str(dtype.__name__ if hasattr(dtype,
