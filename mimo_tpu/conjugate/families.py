@@ -231,8 +231,12 @@ def hier_gaussian_family(nb_iter: int = 25, gibbs_iter: int = 5) -> Family:
         log_predictive=lambda post, data: _h.log_predictive_studentt(post, data[0]),
         log_predictive_gaussian=lambda post, data: _h.log_predictive_gaussian(
             post, data[0]),
-        gibbs_update=lambda key, prior, stats: _h.gibbs_update(
-            key, prior, stats, gibbs_iter),
+        # EXACT one-shot blocked draw (hierarchical.gibbs_update_exact);
+        # the reference's inner chain (bayesian.py:623-659, kept as
+        # hierarchical.gibbs_update) is an approximation the conjugacy
+        # makes unnecessary. Geweke-certified: scripts/geweke_gibbs.py
+        # --family hier.
+        gibbs_update=_h.gibbs_update_exact,
     )
 
 
@@ -263,8 +267,12 @@ def tied_affine_family(nb_iter: int = 25, gibbs_iter: int = 25) -> Family:
             post, aug(data[0]), data[1]),
         log_predictive_gaussian=lambda post, data: _aff.log_predictive_gaussian(
             post, aug(data[0]), data[1]),
-        gibbs_update=lambda key, prior, stats: _aff.gibbs_update(
-            key, prior, stats, gibbs_iter),
+        # EXACT one-shot blocked draw (affine.gibbs_update_exact); the
+        # reference's inner chain (bayesian.py:1258-1319, kept as
+        # affine.gibbs_update) is an approximation the conjugacy makes
+        # unnecessary. Geweke-certified: scripts/geweke_gibbs.py
+        # --family tied-affine.
+        gibbs_update=_aff.gibbs_update_exact,
     )
 
 
@@ -379,7 +387,15 @@ def _tied_ml(stats, base_ml):
 def tied_family(base: Family, pooler=None) -> Family:
     """Tie the scale parameters across components: run the base update then
     pool the posterior (mirrors Tied*.nat_to_std which pools during the
-    nat->std map, composite.py:269-283 — algebraically the same point)."""
+    nat->std map, composite.py:269-283 — algebraically the same point).
+
+    The Gibbs path does NOT pool: the tied models are fully conjugate, so
+    `tied_gibbs.tied_gibbs_update` draws the shared scale EXACTLY (one
+    Wishart/Gamma draw from the summed residual scatter) instead of the
+    reference's pooled-posterior approximation with K independent scale
+    draws. Geweke-certified: scripts/geweke_gibbs.py --family tied."""
+    from mimo_tpu.distributions.tied_gibbs import tied_gibbs_update
+
     def _auto_pool(post):
         pool = _POOLERS.get(type(post), None)
         return pool(post) if pool is not None else post
@@ -389,6 +405,7 @@ def tied_family(base: Family, pooler=None) -> Family:
         update=lambda prior, stats: pool(base.update(prior, stats)),
         svi_blend=lambda post, prior, stats, scale, step: pool(
             base.svi_blend(post, prior, stats, scale, step)),
+        gibbs_update=tied_gibbs_update,
         ml_update=(None if base.ml_update is None
                    else partial(_tied_ml, base_ml=base.ml_update)),
     )

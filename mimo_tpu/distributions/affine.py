@@ -189,6 +189,85 @@ def gibbs_update(key, prior: TiedAffine, stats: AffineStats,
     return post, params
 
 
+def gibbs_update_exact(key, prior: TiedAffine, stats: AffineStats):
+    """EXACT one-shot blocked draw from p(Lambda, A, c_{1:K} | labels,
+    data) — the tied-affine model is fully conjugate, so the reference's
+    inner Gibbs chain (bayesian.py:1258-1319, mirrored by `gibbs_update`
+    above) is unnecessary for sampling. Completing the square in each
+    offset c_k, then in the shared slope A, leaves a pure Wishart:
+
+      s_k = 1/(kappa_k + n_k);  b_k = kappa_k mu0_k + Sy_k;  v_k = Sx_k
+      K'  = K0 + sum_k (Sxx_k - s_k v_k v_k^T)
+      M'  = [M0 K0 + sum_k (Syx_k - s_k b_k v_k^T)] K'^{-1}
+      psi'^{-1} = Psi0^{-1} + M0 K0 M0^T - M' K' M'^T
+                  + sum_k (Syy_k + kappa_k mu0_k mu0_k^T - s_k b_k b_k^T)
+      nu' = nu0 + N
+
+    Ancestral draw: Lambda ~ W(psi', nu');  A | Lambda ~
+    MN(M', Lambda^{-1}, K'^{-1});  c_k | A, Lambda ~
+    N(s_k (b_k - A v_k), ((kappa_k + n_k) Lambda)^{-1}).
+
+    Certified by scripts/geweke_gibbs.py --family tied-affine. Returns
+    (posterior: TiedAffine, params: LinGaussParams PACKED [A | c_k])."""
+    k = prior.size
+    p, q = prior.M.shape
+    k_w, k_a, k_c = jax.random.split(key, 3)
+
+    kappas_n = prior.kappas + stats.n                       # (K,)
+    s = 1.0 / kappas_n                                      # (K,)
+    b = prior.kappas[:, None] * prior.mus + stats.ym        # (K, p)
+    v = stats.xm                                            # (K, q)
+
+    k_n = prior.K_ + jnp.sum(
+        stats.xxT - s[:, None, None] * (v[:, :, None] * v[:, None, :]),
+        axis=0)                                             # (q, q)
+    mk = prior.M @ prior.K_ + jnp.sum(
+        stats.yxT - s[:, None, None] * (b[:, :, None] * v[:, None, :]),
+        axis=0)                                             # (p, q)
+    m_n = jnp.swapaxes(solve_psd(k_n[None],
+                                 jnp.swapaxes(mk[None], -1, -2)),
+                       -1, -2)[0]                           # (p, q)
+    psi_inv = (inv_psd(prior.psi[None])[0]
+               + prior.M @ prior.K_ @ prior.M.T
+               - m_n @ k_n @ m_n.T
+               + jnp.sum(stats.yyT
+                         + prior.kappas[:, None, None]
+                         * (prior.mus[:, :, None] * prior.mus[:, None, :])
+                         - s[:, None, None] * (b[:, :, None] * b[:, None, :]),
+                         axis=0))
+    psi_n = inv_psd(symmetrize(psi_inv)[None])              # (1, p, p)
+    nu_n = (prior.nu + jnp.sum(stats.n))[None]              # (1,)
+
+    lmbda1 = wishart_sample(k_w, psi_n, nu_n)               # (1, p, p)
+    chol1 = cholesky(lmbda1)
+    # A | Lambda ~ MN(M', Lambda^{-1}, K'^{-1})
+    za = jax.random.normal(k_a, (1, p, q), dtype=m_n.dtype)
+    u = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol1, -1, -2), za, lower=False)
+    k_chol = cholesky(k_n[None])
+    w = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(k_chol, -1, -2), jnp.swapaxes(u, -1, -2),
+        lower=False), -1, -2)
+    a_draw = m_n + w[0]                                     # (p, q)
+
+    # c_k | A, Lambda
+    c_mean = s[:, None] * (b - jnp.einsum('pq,kq->kp', a_draw, v))
+    cholk = jnp.broadcast_to(chol1, (k, p, p))
+    zc = jax.random.normal(k_c, (k, p), dtype=c_mean.dtype)
+    dc = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(cholk, -1, -2), zc[..., None], lower=False)[..., 0]
+    cs = c_mean + dc / jnp.sqrt(kappas_n)[:, None]
+
+    post = TiedAffine(
+        M=m_n, K_=k_n,
+        mus=s[:, None] * (b - jnp.einsum('pq,kq->kp', m_n, v)),
+        kappas=kappas_n, psi=psi_n[0], nu=nu_n[0])
+    packed_a = jnp.concatenate(
+        [jnp.broadcast_to(a_draw, (k, p, q)), cs[:, :, None]], axis=-1)
+    lmbdas = jnp.broadcast_to(lmbda1, (k, p, p))
+    return post, LinGaussParams(A=packed_a, lmbda=lmbdas)
+
+
 def to_packed_mnw(p: TiedAffine) -> MNW:
     """Block-diagonal packing (bayesian.py:1388-1422): per component k,
     M_k = [M | mu_k], K_k = blockdiag(K_slope, kappa_k), shared psi/nu."""

@@ -150,6 +150,74 @@ def gibbs_update(key, prior: HierTied, stats: GaussStats,
     return post, GaussParams(mu=mus, lmbda=lmbdas)
 
 
+def gibbs_update_exact(key, prior: HierTied, stats: GaussStats):
+    """EXACT one-shot blocked draw from p(tau, Lambda, mu_{1:K} | labels,
+    data) — the hierarchical model is fully conjugate, so the reference's
+    inner Gibbs chain (bayesian.py:623-659, mirrored by `gibbs_update`
+    above) is unnecessary for sampling: completing the square in each
+    mu_k and then in tau leaves a pure Wishart in Lambda.
+
+      c_k   = kappa_k n_k / (kappa_k + n_k)
+      kap'  = kappa0 + sum_k c_k
+      m'    = (kappa0 m0 + sum_k c_k xbar_k) / kap'
+      psi'^{-1} = Psi0^{-1} + sum_k [S_k - n_k xbar_k xbar_k^T]
+                  + kappa0 (m0 - m')(m0 - m')^T
+                  + sum_k c_k (xbar_k - m')(xbar_k - m')^T      [centered]
+      nu'   = nu0 + N
+
+    Ancestral draw: Lambda ~ W(psi', nu');  tau | Lambda ~
+    N(m', (kap' Lambda)^{-1});  mu_k | tau, Lambda ~
+    N((kappa_k tau + s_k)/(kappa_k + n_k), ((kappa_k + n_k) Lambda)^{-1}).
+
+    Exactness is certified by the Geweke joint-distribution test
+    (scripts/geweke_gibbs.py --family hier); it is also cheaper than the
+    inner chain (one Wishart draw, no fori_loop)."""
+    kap = prior.kappas0
+    kappas_n = kap + stats.n1
+    k = prior.size
+    d = prior.dim
+    h = prior.hyper
+    m0, kappa0 = h.mu[0], h.kappa[0]
+    nu0 = h.nu[0]
+    k_w, k_t, k_m = jax.random.split(key, 3)
+
+    n_safe = jnp.maximum(stats.n1, jnp.asarray(1e-12, stats.n1.dtype))
+    xbar = stats.x / n_safe[:, None]                        # (K, d)
+    c = kap * stats.n1 / kappas_n                           # (K,)
+    kap_h = kappa0 + jnp.sum(c)
+    m_h = (kappa0 * m0 + jnp.einsum('k,kd->d', c, xbar)) / kap_h
+    scatter = stats.xxT - stats.n1[:, None, None] * (
+        xbar[:, :, None] * xbar[:, None, :])
+    dm0 = m0 - m_h
+    dmk = xbar - m_h[None, :]
+    psi_inv = (inv_psd(h.psi)[0]
+               + jnp.sum(scatter, axis=0)
+               + kappa0 * (dm0[:, None] * dm0[None, :])
+               + jnp.einsum('k,kd,ke->de', c, dmk, dmk))
+    psi_h = inv_psd(psi_inv[None])                          # (1, d, d)
+    nu_h = (nu0 + jnp.sum(stats.n2))[None]                  # (1,)
+
+    lmbda = wishart_sample(k_w, psi_h, nu_h)                # (1, d, d)
+    chol1 = cholesky(lmbda)
+    z = jax.random.normal(k_t, (1, d), dtype=m_h.dtype)
+    delta = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(chol1, -1, -2), z[..., None], lower=False)[..., 0]
+    tau = m_h + delta[0] / jnp.sqrt(kap_h)
+
+    m_cond = (kap[:, None] * tau[None, :] + stats.x) / kappas_n[:, None]
+    lmbdas = jnp.broadcast_to(lmbda, (k, d, d))
+    cholk = jnp.broadcast_to(chol1, (k, d, d))
+    zk = jax.random.normal(k_m, (k, d), dtype=m_cond.dtype)
+    dk = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(cholk, -1, -2), zk[..., None], lower=False)[..., 0]
+    mus = m_cond + dk / jnp.sqrt(kappas_n)[:, None]
+
+    post = HierTied(
+        hyper=NIW(mu=m_h[None], kappa=kap_h[None], psi=psi_h, nu=nu_h),
+        mus=m_cond, kappas=kappas_n, kappas0=kap)
+    return post, GaussParams(mu=mus, lmbda=lmbdas)
+
+
 def expected_log_likelihood(p: HierTied, x):
     """E_q[log N(x | mu_k, Lambda^{-1})] -> (N, K) (bayesian.py:731-749).
 

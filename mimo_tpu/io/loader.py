@@ -49,6 +49,9 @@ def _find_lib():
 
 def _load():
     global _lib
+    if _lib is False:
+        raise OSError('native loader unavailable (cached from a prior '
+                      'failed probe)')
     if _lib is not None:
         return _lib
     if os.environ.get('MIMO_TPU_LOADER') == 'numpy':
@@ -79,11 +82,17 @@ def _load():
 
 def _native_or_none():
     """The native library, or None (with a one-time warning) when no
-    toolchain/prebuilt .so is available — callers fall back to NumPy."""
-    global _warned
+    toolchain/prebuilt .so is available — callers fall back to NumPy.
+    The first failure is cached (_lib = False) so later calls skip the
+    `make -C native` re-probe instead of re-spawning a doomed build."""
+    global _warned, _lib
     try:
         return _load()
     except (OSError, subprocess.CalledProcessError):
+        # Don't cache the env-forced case: unsetting MIMO_TPU_LOADER=numpy
+        # should re-enable the native probe within the same process.
+        if _lib is None and os.environ.get('MIMO_TPU_LOADER') != 'numpy':
+            _lib = False
         if not globals().get('_warned'):
             warnings.warn(
                 'mimo_tpu.io: native loader unavailable (no C++ toolchain '
@@ -96,6 +105,10 @@ def _native_or_none():
 def write_bin(path, array):
     """Write a float32 (N, d) array in the loader's binary format."""
     arr = np.ascontiguousarray(np.asarray(array, np.float32))
+    if arr.ndim != 2:
+        raise ValueError(
+            f'write_bin needs a 2-D (N, d) array, got ndim={arr.ndim} — '
+            f'reshape 1-D data to (N, 1) first')
     lib = _native_or_none()
     if lib is None:
         with open(path, 'wb') as f:

@@ -387,8 +387,10 @@ def _ilr_p_predict_kernel(p_out, has_y, hard, diag, *refs):
     w = ew * (1.0 / denom)
     lse_w = mx + jnp.log(denom)
     if hard:
-        wm = (lw >= mx).astype(lw.dtype)
-        w = wm * (1.0 / jnp.sum(wm, axis=0, keepdims=True))
+        # first-occurrence argmax (matches jnp.argmax in the dense
+        # path on exact ties, instead of averaging the tied experts)
+        im = (lw >= mx).astype(lw.dtype)
+        w = im * (jnp.cumsum(im, axis=0) <= 1.0).astype(lw.dtype)
 
     # j-major mean/variance: p static 2D passes — (K, p, B) tensors
     # lower to slow Mosaic shuffles, (K, B) elementwise + sublane
@@ -692,8 +694,10 @@ def _ilr_predict_kernel(has_y, hard, *refs):
     w = ew * (1.0 / denom)                             # (K, B)
     lse_w = mx + jnp.log(denom)
     if hard:
-        wm = (lw >= mx).astype(lw.dtype)
-        w = wm * (1.0 / jnp.sum(wm, axis=0, keepdims=True))
+        # first-occurrence argmax (parity with the dense jnp.argmax
+        # path on exact ties)
+        im = (lw >= mx).astype(lw.dtype)
+        w = im * (jnp.cumsum(im, axis=0) <= 1.0).astype(lw.dtype)
 
     mean = jnp.sum(w * mu, axis=0, keepdims=True)      # (1, B)
     second = jnp.sum(w * (c * vcoef + mu * mu), axis=0, keepdims=True)

@@ -34,16 +34,32 @@ def _split(x):
     x = np.asarray(x, np.float64)
     if x.ndim < 2:
         raise ValueError('need (chains, draws[, ...])')
+    if x.shape[1] < 4:
+        raise ValueError(
+            f'need >= 4 draws per chain for split diagnostics, got '
+            f'{x.shape[1]} (each half must have >= 2 samples for a '
+            f'ddof=1 variance)')
     t = x.shape[1] - (x.shape[1] % 2)
     half = t // 2
     return np.concatenate([x[:, :half], x[:, half:t]], axis=0)
+
+
+def _norm_ppf(p):
+    """Standard-normal inverse CDF without scipy: stdlib
+    statistics.NormalDist().inv_cdf (Wichura AS241), vectorized.
+    Core install is jax+numpy only, so the diagnostics API must not
+    pull scipy in at runtime."""
+    from statistics import NormalDist
+    inv = NormalDist().inv_cdf
+    p = np.asarray(p, np.float64)
+    return np.fromiter((inv(float(v)) for v in p.ravel()),
+                       np.float64, p.size).reshape(p.shape)
 
 
 def rank_normalize(x):
     """Rank-normalize draws over (chains, draws) jointly (Vehtari et al.
     2021 eq. 14): robust R-hat/ESS for heavy-tailed quantities (e.g.
     early-sweep log-likelihoods)."""
-    from scipy.stats import norm
     x = np.asarray(x, np.float64)
     c, t = x.shape[:2]
     flat = x.reshape(c * t, -1)
@@ -52,7 +68,7 @@ def rank_normalize(x):
         order = np.argsort(flat[:, j], kind='stable')
         ranks = np.empty(c * t)
         ranks[order] = np.arange(1, c * t + 1)
-        r[:, j] = norm.ppf((ranks - 0.375) / (c * t + 0.25))
+        r[:, j] = _norm_ppf((ranks - 0.375) / (c * t + 0.25))
     return r.reshape(x.shape)
 
 

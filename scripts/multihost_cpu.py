@@ -12,6 +12,16 @@ the data across processes, and runs the production sharded engines:
     fit_gibbs_fused(mesh=) — per-device folded PRNG label sweep
     fit_svi(mesh=)         — stratified per-device minibatch + psum
     fit_map_fused(mesh=)   — plug-in fused MAP-EM
+    fit_chains over a ('chain','data') = (C, P*D/C) mesh — restarts
+      sharded over processes AND points sharded over devices in one
+      program (--n-chain)
+
+`--backend pallas` drives the vi/gibbs/map legs through the MOSAIC
+kernel path (fused_*_pallas_sharded under shard_map across the
+multi-process mesh; interpret mode on CPU devices, exactly as
+test_sharding runs it single-process) — certifying that the production
+TPU-pod combination "Mosaic kernels under shard_map across hosts"
+composes with jax.distributed process topology.
 
 The oracle is a 1-process run over the SAME global mesh shape (1 proc x
 2P devices vs P procs x 2 devices): every engine derives its per-device
@@ -68,6 +78,7 @@ def worker(args):
 
     mesh = make_mesh()          # ('chain','data') = (1, nprocs*devices)
     n_dev = mesh.shape['data']
+    backend = args.backend
 
     # identical data on every process (shard_data slices each process's
     # local rows out of the same global array)
@@ -88,15 +99,17 @@ def worker(args):
         return np.asarray(jax.device_get(a.addressable_data(0)))
 
     out = {}
+    # Mosaic blocks are lane-128 padded — let pick_pallas_block choose
+    bs = None if backend == 'pallas' else 64
 
-    st_vi, tr_vi = model.fit_vi_fused(xs, key=1, maxiter=6, block_size=64,
-                                      mesh=mesh, backend='xla')
+    st_vi, tr_vi = model.fit_vi_fused(xs, key=1, maxiter=6, block_size=bs,
+                                      mesh=mesh, backend=backend)
     out['vi_trace'] = fetch(tr_vi).tolist()
     out['vi_leaves'] = [fetch(a).ravel().tolist()
                         for a in jax.tree.leaves(st_vi)]
 
-    gs = model.fit_gibbs_fused(xs, key=2, maxiter=6, block_size=64,
-                               mesh=mesh, backend='xla')
+    gs = model.fit_gibbs_fused(xs, key=2, maxiter=6, block_size=bs,
+                               mesh=mesh, backend=backend)
     counts = jax.jit(lambda l: jnp.sum(jax.nn.one_hot(l, k, dtype=jnp.int32),
                                        axis=0))(gs.labels)
     out['gibbs_counts'] = fetch(counts).tolist()
@@ -109,9 +122,38 @@ def worker(args):
                          for a in jax.tree.leaves(st_svi)]
 
     st_map, ll_map = model.fit_map_fused(xs, key=4, maxiter=4,
-                                         block_size=64, mesh=mesh,
-                                         backend='xla')
+                                         block_size=bs, mesh=mesh,
+                                         backend=backend)
     out['map_trace'] = fetch(ll_map).tolist()
+
+    # chain axis x process topology: restarts sharded over 'chain' (across
+    # processes) AND points over 'data' in ONE program. Chain-sharded
+    # outputs live on different processes, so the asserted values are
+    # all-gathered to replicated inside jit first.
+    if args.n_chain > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mimo_tpu.parallel.chains import fit_chains
+        mesh_c = make_mesh(n_chain=args.n_chain)
+        keys = jax.random.split(jax.random.PRNGKey(11), args.n_chain * 2)
+        keys_sh = jax.device_put(keys, NamedSharding(mesh_c, P('chain')))
+        xs_c = jax.device_put(x.astype(dtype),
+                              NamedSharding(mesh_c, P('data')))
+        _, vlbs = fit_chains(model, 'fit_vi', xs_c, keys_sh, maxiter=8)
+        gathered = jax.jit(
+            lambda v: v.astype(jnp.float64),
+            out_shardings=NamedSharding(mesh_c, P()))(vlbs)
+        out['chain_vlbs'] = fetch(gathered)[:, -1].tolist()
+
+    if backend == 'pallas':
+        # the svi/stream legs are XLA engines (no kernel path to certify);
+        # the pallas leg certifies vi/gibbs/map + the chain axis
+        out['proc_id'] = args.proc_id
+        out['global_devices'] = jax.device_count()
+        with open(args.out, 'w') as f:
+            json.dump(out, f)
+        print(f'[worker {args.proc_id}/{args.nprocs}] OK pallas '
+              f'({jax.device_count()} global devices)', flush=True)
+        return
 
     # out-of-core x multi-process: every process streams ITS shard of
     # the dataset from disk (io.MmapDataset), fit_svi_stream assembles
@@ -177,12 +219,14 @@ def launcher(args):
     import tempfile
     tmp = tempfile.mkdtemp(prefix='mimo_multihost_')
     f32 = ['--f32'] if args.f32 else []
+    extra = f32 + ['--backend', args.backend,
+                   '--n-chain', str(args.n_chain)]
     world = args.nprocs * args.devices
 
     # 1-process oracle over the SAME global mesh shape
     ref_out = os.path.join(tmp, 'ref.json')
     p = _spawn(['--nprocs', '1', '--proc-id', '0',
-                '--devices', str(world)] + f32, ref_out)
+                '--devices', str(world)] + extra, ref_out)
     log, _ = p.communicate(timeout=args.timeout)
     if p.returncode != 0:
         print(log)
@@ -196,7 +240,8 @@ def launcher(args):
         outs.append(o)
         procs.append(_spawn(
             ['--nprocs', str(args.nprocs), '--proc-id', str(i),
-             '--port', str(port), '--devices', str(args.devices)] + f32, o))
+             '--port', str(port), '--devices', str(args.devices)]
+            + extra, o))
     logs = []
     failed = False
     for p in procs:
@@ -238,9 +283,12 @@ def launcher(args):
     for j, (la, lb) in enumerate(zip(ref['svi_leaves'], r0['svi_leaves'])):
         close(f'svi_leaf{j}', la, lb)
     close('map_trace', ref['map_trace'], r0['map_trace'])
-    for j, (la, lb) in enumerate(zip(ref['stream_leaves'],
-                                     r0['stream_leaves'])):
-        close(f'stream_leaf{j}', la, lb)
+    if 'chain_vlbs' in ref:
+        close('chain_vlbs', ref['chain_vlbs'], r0['chain_vlbs'])
+    if 'stream_leaves' in ref:
+        for j, (la, lb) in enumerate(zip(ref['stream_leaves'],
+                                         r0['stream_leaves'])):
+            close(f'stream_leaf{j}', la, lb)
     # every process must report the same replicated values
     for i, r in enumerate(runs[1:], 1):
         close(f'proc{i}_vi_trace', r0['vi_trace'], r['vi_trace'])
@@ -249,12 +297,18 @@ def launcher(args):
     bad = [c for c in checks if not c[1]]
     for name, ok, err in checks:
         print(f'  {"OK " if ok else "FAIL"} {name:<16} max|diff|={err:.3g}')
+    engines = ['fit_vi_fused', 'fit_gibbs_fused', 'fit_svi',
+               'fit_map_fused']
+    if args.n_chain > 1:
+        engines.append('fit_chains')
+    if args.backend != 'pallas':
+        engines.append('fit_svi_stream')
     result = {
         'ok': not bad, 'nprocs': args.nprocs,
         'devices_per_proc': args.devices, 'global_devices': world,
+        'backend': args.backend, 'n_chain': args.n_chain,
         'checks': len(checks), 'failed': len(bad),
-        'engines': ['fit_vi_fused', 'fit_gibbs_fused', 'fit_svi',
-                    'fit_map_fused', 'fit_svi_stream'],
+        'engines': engines,
     }
     print(json.dumps(result))
     if bad:
@@ -271,6 +325,13 @@ def main():
                     help='local CPU devices per process')
     ap.add_argument('--out', default='')
     ap.add_argument('--f32', action='store_true')
+    ap.add_argument('--backend', default='xla', choices=['xla', 'pallas'],
+                    help='pallas = Mosaic kernel path under shard_map '
+                         '(interpret mode on CPU devices)')
+    ap.add_argument('--n-chain', type=int, default=1,
+                    help='>1 adds a fit_chains leg on a (n_chain, '
+                         'world/n_chain) mesh — restarts sharded across '
+                         'processes')
     ap.add_argument('--timeout', type=float, default=600.0)
     args = ap.parse_args()
     if args.worker:
