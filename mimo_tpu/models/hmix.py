@@ -22,6 +22,7 @@ from jax.scipy.special import logsumexp
 
 from mimo_tpu.conjugate.families import Family
 from mimo_tpu.utils.data import one_hot, sample_batch_indices
+from mimo_tpu.utils.sanitize import finite_report as _finite_report
 from mimo_tpu.utils.stats import (
     normalize_log, sample_categorical_from_log,
 )
@@ -233,7 +234,7 @@ class BayesianMixtureOfMixtures:
             state, trace = jax.lax.scan(step, state, None, length=maxiter)
             return state, trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_vi')
 
     def _flat_spec(self):
         """EStepSpec over the FLAT M*K expert axis: the two-level joint
@@ -402,7 +403,7 @@ class BayesianMixtureOfMixtures:
 
             return _elbo_loop(step, state, maxiter, tol)
 
-        return fn(run, data, key, tol)
+        return _finite_report(fn(run, data, key, tol), 'fit_vi_fused')
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
                         mesh=None, backend='auto'):
@@ -536,7 +537,7 @@ class BayesianMixtureOfMixtures:
                                   components=comps,
                                   labels=labels // kk)
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_gibbs_fused')
 
     # -- likelihood-only EM (hgmm.py:59-88, hilr.py:39-78) ------------------
 
@@ -646,7 +647,7 @@ class BayesianMixtureOfMixtures:
                 step, (inner_resp, outer_resp), None, length=maxiter)
             return jax.tree.map(lambda a: a[-1], states), trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_em')
 
     def fit_em_fused(self, data, key=None, maxiter=100, block_size=None,
                      mesh=None, backend='auto'):
@@ -726,7 +727,7 @@ class BayesianMixtureOfMixtures:
                 step, (params, ilp, olp), None, length=maxiter)
             return HMixEMState(params, ilp, olp), trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_em_fused')
 
     # -- MAP EM --------------------------------------------------------------
 
@@ -810,7 +811,7 @@ class BayesianMixtureOfMixtures:
                 step, (inner_resp0, outer_resp0), None, length=maxiter)
             return jax.tree.map(lambda a: a[-1], states), trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_map')
 
     def fit_map_fused(self, data, key=None, maxiter=100, block_size=None,
                       mesh=None, backend='auto'):
@@ -883,7 +884,7 @@ class BayesianMixtureOfMixtures:
 
             return jax.lax.scan(step, state, None, length=maxiter)
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_map_fused')
 
     # -- stochastic VI (hilr.py:460-515, hgmm analogue) ---------------------
 
@@ -1000,7 +1001,7 @@ class BayesianMixtureOfMixtures:
                                     jax.random.split(key, maxiter))
             return state
 
-        return fn(run, data, key, init_state, step_size)
+        return _finite_report(fn(run, data, key, init_state, step_size), 'fit_svi')
 
     # -- Gibbs (hgmm.py:326-361, masked instead of hard-sliced) -------------
 
@@ -1083,7 +1084,7 @@ class BayesianMixtureOfMixtures:
                                     jax.random.split(k_loop, maxiter))
             return state
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_gibbs')
 
     # -- prediction (hilr.py:527-609, hgmm two-level predictive density) ----
 

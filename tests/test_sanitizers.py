@@ -141,3 +141,53 @@ def test_fused_engines_nan_workflow_via_compaction(data):
     # first-sweep stat totals: compacted fused == dense masked (both
     # count exactly sum(w) effective points)
     assert np.isclose(float(jnp.sum(res.counts)), float(jnp.sum(resp_w)))
+
+
+def test_finite_report_warns_and_raises(data, monkeypatch):
+    """MIMO_TPU_CHECK_FINITE: a degenerate prior that NaNs the fit
+    produces a LOUD RuntimeWarning naming the first bad sweep index and
+    the offending state leaves ('raise' makes it fatal). Default (unset)
+    is silent — the check costs a host sync, so it is opt-in."""
+    from mimo_tpu.utils import sanitize
+    from mimo_tpu.models.mixture import MFState
+
+    # poisoned trace + state through the real reporting path
+    m = BayesianGMM.make(size=4, dim=2, dtype=jnp.float64)
+    st, _ = m.fit_vi(data, key=0, maxiter=3)
+    bad_state = st._replace(
+        components=st.components._replace(
+            mu=st.components.mu.at[1, 0].set(jnp.nan)))
+    trace = jnp.asarray([1.0, 2.0, jnp.nan, jnp.nan])
+
+    monkeypatch.delenv('MIMO_TPU_CHECK_FINITE', raising=False)
+    assert sanitize.finite_report((bad_state, trace), 'fit_vi') \
+        == (bad_state, trace)          # silent by default
+
+    monkeypatch.setenv('MIMO_TPU_CHECK_FINITE', '1')
+    with pytest.warns(RuntimeWarning, match='sweep 2') as rec:
+        sanitize.finite_report((bad_state, trace), 'fit_vi')
+    assert 'mu' in str(rec[0].message)
+
+    monkeypatch.setenv('MIMO_TPU_CHECK_FINITE', 'raise')
+    with pytest.raises(FloatingPointError, match='fit_vi'):
+        sanitize.finite_report((bad_state, trace), 'fit_vi')
+
+    # a bare NamedTuple state (no trace) is checked as a state, not
+    # unpacked as (state, trace)
+    with pytest.raises(FloatingPointError, match='state leaves'):
+        sanitize.finite_report(bad_state, 'fit_gibbs_fused')
+
+    # clean results pass through untouched under 'raise'
+    out = sanitize.finite_report((st, jnp.asarray([1.0, 2.0])), 'fit_vi')
+    assert out[0] is st
+
+
+def test_finite_report_end_to_end(data, monkeypatch):
+    """The env var gates the REAL engines: a fit through fit_vi with a
+    degenerate (zero-scale) prior warns loudly instead of returning
+    silent NaNs."""
+    monkeypatch.setenv('MIMO_TPU_CHECK_FINITE', '1')
+    m = BayesianGMM.make(size=4, dim=2, psi_scale=0.0,   # degenerate
+                         dtype=jnp.float64)
+    with pytest.warns(RuntimeWarning, match='NON-FINITE'):
+        m.fit_vi(data, key=0, maxiter=5)

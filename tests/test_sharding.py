@@ -416,3 +416,97 @@ def test_ilr_predict_sharded_kernel_equals_dense():
     for a, b in zip(k3[:2] + (k3[3],), d3[:2] + (d3[3],)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+# -- communication contract (the README pod-scaling claim, asserted) --------
+
+def _collective_payloads(hlo_text):
+    """[(instruction_line, [elem_counts...], in_loop_body), ...] for every
+    collective instruction in a compiled HLO module."""
+    import re
+    out = []
+    for line in hlo_text.splitlines():
+        if not re.search(
+                r'\b(all-reduce|all-gather|reduce-scatter|'
+                r'collective-permute|all-to-all)(-start)?\(', line):
+            continue
+        head = re.split(r'\b(?:all-reduce|all-gather|reduce-scatter|'
+                        r'collective-permute|all-to-all)(?:-start)?\(',
+                        line)[0]
+        shapes = re.findall(r'[a-z]\d+\[([\d,]*)\]', head)
+        elems = [int(np.prod([int(v) for v in s.split(',') if v] or [1]))
+                 for s in shapes]
+        out.append((line.strip(), elems, 'while/body' in line))
+    return out
+
+
+def _lower_and_check(model, fit_name, checks_n, make_args, k, m_stats,
+                     trace_key):
+    """Lower the fit at two different N; assert (a) exactly one
+    while-body all-reduce (the (K, m) stats psum), (b) every collective
+    payload is tiny and INDEPENDENT of N, (c) no collective's operand
+    scales with the data size."""
+    payload_sets = []
+    for n in checks_n:
+        model._cache.clear()           # force a fresh lowering per N
+        model._capture_lowered = {}
+        args = make_args(n)
+        getattr(model, fit_name)(*args[0], **args[1])
+        low = model._capture_lowered[trace_key]
+        colls = _collective_payloads(low.compile().as_text())
+        assert colls, f'{fit_name}: no collective found — not sharded?'
+        body = [c for c in colls if c[2]]
+        # the contract: ONE all-reduce per sweep, stats-sized
+        assert len(body) == 1, \
+            f'{fit_name}@N={n}: expected exactly 1 while-body ' \
+            f'all-reduce, got {len(body)}:\n' + '\n'.join(
+                c[0][:200] for c in body)
+        assert 'all-reduce' in body[0][0]
+        per_dev_n = n // 8
+        for line, elems, _ in colls:
+            assert max(elems) < per_dev_n, \
+                f'{fit_name}@N={n}: collective payload {max(elems)} ' \
+                f'scales with data ({line[:160]})'
+            assert max(elems) <= 4 * k * m_stats + 8, \
+                f'{fit_name}@N={n}: payload {max(elems)} > O(K*m) ' \
+                f'({line[:160]})'
+        payload_sets.append(sorted(sum((e for _, e, _ in colls), [])))
+    assert payload_sets[0] == payload_sets[1], \
+        f'{fit_name}: collective payloads changed with N — ' \
+        f'{payload_sets[0]} vs {payload_sets[1]}'
+    model._capture_lowered = None
+
+
+def test_communication_contract_vi_gibbs_svi():
+    """Compiled-HLO assertion of the pod-scaling contract (README
+    multi-host section): each sharded sweep's ONLY cross-device traffic
+    is one all-reduce of the K x m statistics accumulator (+O(K)
+    scalars); nothing N-sized ever crosses the mesh, at any N. A
+    regression that silently adds an N-sized all-gather fails here even
+    though every equality test would still pass."""
+    mesh = make_mesh()
+    kk, d = 8, 2
+    m_stats = d * d + d + 3    # GaussStats leaves + lse + counts, packed
+    rng = np.random.default_rng(0)
+
+    def model():
+        return BayesianGMM.make(size=kk, dim=d, gating='dp', alpha=1.0,
+                                kappa=0.05, psi_scale=0.5,
+                                dtype=jnp.float64)
+
+    def vi_args(n):
+        xs = shard_data(mesh, rng.normal(size=(n, d)))
+        return ((xs,), dict(key=1, maxiter=3, block_size=n // 16,
+                            mesh=mesh, backend='xla'))
+
+    _lower_and_check(model(), 'fit_vi_fused', (32768, 65536), vi_args,
+                     kk, m_stats, 'vi_fused')
+    _lower_and_check(model(), 'fit_gibbs_fused', (32768, 65536), vi_args,
+                     kk, m_stats, 'gibbs_fused')
+
+    def svi_args(n):
+        xs = shard_data(mesh, rng.normal(size=(n, d)))
+        return ((xs,), dict(key=1, maxiter=3, batch_size=512, mesh=mesh))
+
+    _lower_and_check(model(), 'fit_svi', (32768, 65536), svi_args,
+                     kk, m_stats, 'svi')
