@@ -377,6 +377,9 @@ def main(argv=None):
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--f64', action='store_true',
                     help='force x64 (default on for the xla backend)')
+    ap.add_argument('--assert-below', type=float, default=None,
+                    help='exit 1 if max|z| exceeds this (CI regression '
+                         'gate; use ~4.5 at 4k draws, ~3.5 at 20k)')
     args = ap.parse_args(argv)
 
     import jax
@@ -494,6 +497,9 @@ def main(argv=None):
                       'n': args.n, 'k': args.k, 'd': args.dim,
                       'dtype': str(dtype.__name__ if hasattr(dtype,
                                    '__name__') else dtype)}))
+    if args.assert_below is not None and mx >= args.assert_below:
+        print(f'FAIL: max|z| {mx:.2f} >= {args.assert_below}')
+        sys.exit(1)
     return mx, out
 
 
