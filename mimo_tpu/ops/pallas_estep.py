@@ -39,6 +39,7 @@ caller adds the N-independent KL terms.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,23 @@ from mimo_tpu.ops.estep import _estep_nat, EStepResult
 # dot keeps a single DEFAULT pass (resp and F rounding are per-point
 # random). (HIGH is not lowerable by Mosaic.)
 _DOT_PREC = jax.lax.Precision.DEFAULT
+
+
+# Experimental exp variants for the VPU-bound d=2 softmax (BENCH_NOTES
+# round-5 "one more pass at the d=2 VPU bound"): MIMO_TPU_EXP=exp2 maps
+# exp through exp2 (one extra multiply, possibly cheaper lowering);
+# =bf16 evaluates exp in bfloat16 (the stats dot rounds its operands to
+# bf16 anyway — per-point random resp errors average out of the
+# N-summed statistics). Measurement knob only; default stays f32 exp.
+_EXP_MODE = os.environ.get('MIMO_TPU_EXP', 'f32')
+
+
+def _exp(z):
+    if _EXP_MODE == 'exp2':
+        return jnp.exp2(z * jnp.float32(1.4426950408889634))
+    if _EXP_MODE == 'bf16':
+        return jnp.exp(z.astype(jnp.bfloat16)).astype(jnp.float32)
+    return jnp.exp(z)
 
 
 def _nt(a, b):
@@ -169,7 +187,7 @@ def _estep_kernel2(masked, nx, features_t, split_f, *refs):
     logp = (_dot_split_ff if split_f else _dot_split)(
         theta_ref[:], f)                                 # (K, B)
     mx = jnp.max(logp, axis=0, keepdims=True)            # (1, B)
-    ex = jnp.exp(logp - mx)                              # (K, B)
+    ex = _exp(logp - mx)                                 # (K, B)
     if not masked:
         denom = jnp.sum(ex, axis=0, keepdims=True)
         lse = mx + jnp.log(denom)

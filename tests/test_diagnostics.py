@@ -20,6 +20,16 @@ from mimo_tpu.parallel.diagnostics import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_env():
+    """Force the Geweke subprocess onto the CPU backend regardless of
+    the parent's TPU/axon env (the x64 oracle leg must not route
+    through a TPU tunnel)."""
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PALLAS_AXON_POOL_IPS'] = ''      # skip axon PJRT registration
+    return env
+
+
 def test_rhat_iid_chains_near_one():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((8, 2000))
@@ -91,8 +101,29 @@ def test_geweke_full_gibbs_transition():
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, 'scripts', 'geweke_gibbs.py'),
          '--draws', '4000', '--burn', '300', '--thin', '1'],
-        cwd=REPO, capture_output=True, text=True, timeout=900)
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+        env=_cpu_env())
     assert p.returncode == 0, p.stdout + p.stderr
     result = json.loads(p.stdout.strip().splitlines()[-1])
     assert result['max_abs_z'] < 6.0, p.stdout
     assert result['dtype'] == 'float64'
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('family', ['hier', 'tied-affine'])
+def test_geweke_exact_draw_transitions(family):
+    """Round-5 regression leg for the EXACT one-shot blocked draws
+    (hierarchical Lambda->tau->mu_k; tied-affine Lambda->A->c_k) — the
+    highest-risk hand-derived conditionals. Reduced draws; the full
+    20k-draw certificates (max|z| <= 2.9 across every family x backend)
+    live in BENCH_NOTES; the nightly CI matrix runs all 8 families."""
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts', 'geweke_gibbs.py'),
+         '--family', family, '--draws', '2500', '--burn', '200',
+         '--n', '128', '--thin', '1'],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+        env=_cpu_env())
+    assert p.returncode == 0, p.stdout + p.stderr
+    result = json.loads(p.stdout.strip().splitlines()[-1])
+    assert result['max_abs_z'] < 6.0, p.stdout
+    assert result['dropped_prior'] == 0 and result['dropped_succ'] == 0
