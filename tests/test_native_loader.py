@@ -208,3 +208,68 @@ def test_stream_full_map_em(dataset):
     for t in np.array([[-4., 0.], [4., 0.], [0., 5.]]):
         assert np.min(np.linalg.norm(mu - t, axis=-1)) < 0.3
     ds.close()
+
+
+def test_stream_full_pallas_and_ilr(dataset, tmp_path):
+    """Epoch streaming through (a) the Mosaic kernel path (interpret
+    mode on CPU) and (b) a two-array ILR dataset — the generic engine
+    handles tuple blocks and every backend."""
+    from mimo_tpu.io.loader import MmapDataset, write_bin
+    from mimo_tpu.models.gmm import BayesianGMM
+    from mimo_tpu.models.ilr import BayesianILR
+    path, x = dataset
+    ds = MmapDataset(path)
+    b = 4000
+    nb = ds.shape[0] // b
+
+    # (a) pallas backend == xla backend (f32; interpret-mode kernels)
+    m = BayesianGMM.make(size=8, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float32)
+    rb32 = lambda i: ds.read_block(i * b, b)
+    st0, _ = m.fit_vi_stream_full(rb32, nb, key=1, maxiter=1,
+                                  backend='xla')
+    stx, vx = m.fit_vi_stream_full(rb32, nb, init_state=st0, maxiter=4,
+                                   backend='xla')
+    stp, vp = m.fit_vi_stream_full(rb32, nb, init_state=st0, maxiter=4,
+                                   backend='pallas')
+    np.testing.assert_allclose(vx, vp, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(stx.components.mu),
+                               np.asarray(stp.components.mu),
+                               rtol=1e-3, atol=1e-3)
+    ds.close()
+
+    # (b) ILR: (x, y) blocks from two mmap files
+    rng = np.random.default_rng(5)
+    xi = rng.uniform(-6, 6, (12000, 1)).astype(np.float32)
+    yi = (np.sin(xi) + 0.1 * rng.standard_normal((12000, 1))
+          ).astype(np.float32)
+    px = str(tmp_path / 'ix.bin')
+    py = str(tmp_path / 'iy.bin')
+    write_bin(px, xi)
+    write_bin(py, yi)
+    dx, dy = MmapDataset(px), MmapDataset(py)
+    bi = 3000
+    nbi = 12000 // bi
+
+    def read_xy(i):
+        return (dx.read_block(i * bi, bi).astype(np.float64),
+                dy.read_block(i * bi, bi).astype(np.float64))
+
+    mi = BayesianILR.make(size=10, input_dim=1, output_dim=1, alpha=2.0,
+                          kappa=0.05, dtype=jnp.float64)
+    xj = jnp.asarray(xi, jnp.float64)
+    yj = jnp.asarray(yi, jnp.float64)
+    sti0, _ = mi.fit_vi_fused((xj, yj), key=1, maxiter=1, block_size=bi,
+                              backend='xla')
+    ref, vr = mi.fit_vi_fused((xj, yj), key=1, maxiter=6, block_size=bi,
+                              init_state=sti0, randomize=False,
+                              backend='xla')
+    sti, vs = mi.fit_vi_stream_full(read_xy, nbi, init_state=sti0,
+                                    maxiter=6, block_size=bi,
+                                    backend='xla')
+    np.testing.assert_allclose(np.asarray(vr)[:len(vs)], vs, rtol=1e-9)
+    for a, c in zip(jax.tree.leaves(ref), jax.tree.leaves(sti)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-9, atol=1e-12)
+    dx.close()
+    dy.close()

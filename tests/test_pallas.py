@@ -573,3 +573,39 @@ def test_fused_predictive_wide_dim():
     got = gauss_predictive_pallas(post, log_w, x, block_size=256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_fused_mode_tie_break_first_occurrence():
+    """prediction='mode' on EXACT weight ties: the fused kernel must
+    pick the FIRST tied expert (matching the dense path's jnp.argmax),
+    not average the tied experts (round-5 advisor fix: cumulative-sum
+    first-occurrence mask in ops/pallas_predict.py)."""
+    from mimo_tpu.models.ilr import BayesianILR
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2, 2, (640, 1)), jnp.float32)
+    y = jnp.asarray(0.5 * np.asarray(x)
+                    + 0.05 * rng.standard_normal((640, 1)), jnp.float32)
+    m = BayesianILR.make(size=6, input_dim=1, output_dim=1, alpha=2.0,
+                         gating='dirichlet', kappa=0.05)
+    st, _ = m.fit_vi((x, y), key=1, maxiter=20)
+    # duplicate expert 0's posterior into experts 1 and 3 AND flatten
+    # the gating to uniform: their predictive weights tie EXACTLY
+    # wherever expert 0 wins
+    bp, ep = st.components
+    dup = lambda a: a.at[1].set(a[0]).at[3].set(a[0])
+    st2 = st._replace(
+        components=(jax.tree.map(dup, bp), jax.tree.map(dup, ep)),
+        gating=jax.tree.map(jnp.ones_like, st.gating))
+    w = m.predictive_weights(st2, m._tx(x))
+    mx = np.max(np.asarray(w), axis=-1, keepdims=True)
+    assert (np.sum(np.asarray(w) >= mx * (1 - 1e-6), axis=-1) > 1).any(), \
+        'fixture failed to create exact weight ties'
+    mu_d, var_d, _, _ = m.predict(st2, x, None, backend='xla',
+                                  prediction='mode')
+    mu_f, var_f, _, _ = m.predict(st2, x, None, backend='pallas',
+                                  prediction='mode')
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_d),
+                               rtol=2e-3, atol=1e-5)
