@@ -223,6 +223,25 @@ def main():
             f'pts/s ingested (C loader mmap -> host -> HBM -> nat-grad '
             f'step, {steps_s / dt:.0f} steps/s)')
 
+        # bf16 wire transfer: halves host->device bytes — the binding
+        # constraint through the tunnel (measured h2d ~35 MB/s); see
+        # fit_svi_stream(transfer_dtype=)
+        dt = float('inf')
+        for rep in range(3):
+            rng_np = np.random.default_rng(rep)
+            batches = ds.minibatches(rng_np, bstream, steps_s + 1)
+            t0 = time.time()
+            model.fit_svi_stream(lambda i: next(batches),
+                                 total_size=ds.shape[0], key=6,
+                                 maxiter=steps_s, step_size=0.5,
+                                 batch_size=bstream,
+                                 transfer_dtype=jnp.bfloat16)
+            if rep:
+                dt = min(dt, time.time() - t0)
+        log(f'# [SVI-stream bf16-wire] {steps_s * bstream / dt / 1e6:.1f}M '
+            f'pts/s ingested ({steps_s / dt:.0f} steps/s; '
+            f'transfer_dtype=bfloat16 halves h2d bytes)')
+
         # ---- out-of-core FULL-DATA engine (round 5): epoch-streamed VI —
         # each sweep reads the whole file in blocks through the fused
         # E-step; exact same math as fit_vi_fused, N bounded by disk

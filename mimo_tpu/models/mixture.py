@@ -753,7 +753,7 @@ class BayesianMixture:
     def fit_svi_stream(self, next_batch, total_size, key=None, maxiter=500,
                        step_size=1e-2, batch_size=128, init_state=None,
                        forgetting=None, delay=1.0, group=16, mesh=None,
-                       prefetch=2):
+                       prefetch=2, transfer_dtype=None):
         """Out-of-core SVI: the host supplies minibatches (e.g. from
         io.MmapDataset over a file bigger than RAM/HBM); jitted
         natural-gradient steps run per batch.
@@ -777,6 +777,17 @@ class BayesianMixture:
         (io.stream.Prefetcher). Batch ORDER is unchanged, so results
         are bit-identical to the unprefetched loop.
 
+        `transfer_dtype` (e.g. jnp.bfloat16): cast batches on the HOST
+        before the device put, halving host->device bytes — the binding
+        constraint when the link is thin (measured: the tunneled-TPU
+        bench is h2d-bound at ~35 MB/s; a PCIe host still pays 2x).
+        The step upcasts back to the state's dtype on device; the
+        E-step's MXU dots round their operands to bf16 anyway (see
+        ops/pallas_estep precision notes), so bf16 transfer injects
+        only a per-point random feature perturbation that averages out
+        of the N-summed statistics. Off by default — exactness tests
+        and f64 oracles use full-width transfer.
+
         With `mesh`, out-of-core meets multi-chip: every PROCESS streams
         its own shard of the file and `next_batch(i)` returns this
         process's local rows — batch_size * (local devices / total
@@ -792,7 +803,7 @@ class BayesianMixture:
         key = _as_key(key)
         scale = batch_size / total_size
         group = max(1, min(group, maxiter))
-        step_key = ('svi_stream', group)
+        step_key = ('svi_stream', group, transfer_dtype is not None)
         if step_key not in self._cache:
             # scale/rhos are traced args, NOT closure captures: the
             # jitted step is cached once per model and reused across
@@ -800,6 +811,8 @@ class BayesianMixture:
             def run_group(state, batches, scale, rhos):
                 def one_step(state, br):
                     batch, rho = br
+                    cdt = jax.tree.leaves(state)[0].dtype
+                    batch = tuple(b.astype(cdt) for b in batch)
                     resp = self.expected_responsibilities(state, batch)
                     stats = self.family.suff_stats(batch, resp)
                     counts = jnp.sum(resp, axis=0)
@@ -845,6 +858,10 @@ class BayesianMixture:
                 bs = bs + [bs[-1]] * (group - g)
             local = tuple(_np.stack([_np.asarray(b[a]) for b in bs])
                           for a in range(len(bs[0])))
+            if transfer_dtype is not None:
+                # jnp.bfloat16 is a numpy-registered ml_dtypes scalar
+                # type, so host-side astype works directly
+                local = tuple(a.astype(transfer_dtype) for a in local)
             if forgetting is None:
                 rhos = _np.full(group, step_size, _np.float32)
             else:
@@ -870,7 +887,8 @@ class BayesianMixture:
     # -- out-of-core FULL-DATA engines (epoch streaming) --------------------
 
     def _fit_epoch_stream(self, read_block, n_blocks, kind, key, maxiter,
-                          init_state, prefetch, backend, block_size):
+                          init_state, prefetch, backend, block_size,
+                          transfer_dtype=None):
         """Shared engine for fit_{vi,map,em}_stream_full: each sweep is a
         full pass over the on-disk dataset in host-supplied blocks; the
         (K, m) statistics accumulator is additive across blocks (the
@@ -902,6 +920,9 @@ class BayesianMixture:
 
         def block_estep(theta_src, log_pi, *block):
             nb = block[0].shape[0]
+            if transfer_dtype is not None:
+                f32 = jnp.float32
+                block = tuple(b.astype(f32) for b in block)
             dtype = block[0].dtype
             if use_pallas:
                 bs = block_size or pick_pallas_block(
@@ -922,11 +943,21 @@ class BayesianMixture:
             res = block_estep(theta_src, log_pi, *block)
             return jax.tree.map(jnp.add, acc, res)
 
+        def _read(i):
+            blk = _as_tuple(read_block(i))
+            if transfer_dtype is not None:
+                # halve host->device bytes (see fit_svi_stream's
+                # transfer_dtype doc); block_estep computes in the
+                # params dtype after an on-device upcast
+                import numpy as _np
+                blk = tuple(_np.asarray(b).astype(transfer_dtype)
+                            for b in blk)
+            return blk
+
         def sweep_estep(theta_src, log_pi):
             """One full pass over the dataset -> summed FusedEStep."""
             acc = None
-            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
-                            depth=prefetch) as pf:
+            with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for blk in pf:
                     if acc is None:
                         # zero accumulator with the right structure
@@ -949,14 +980,15 @@ class BayesianMixture:
             @jax.jit
             def init_accum(acc, k, *block):
                 nb = block[0].shape[0]
+                if transfer_dtype is not None:
+                    block = tuple(b.astype(jnp.float32) for b in block)
                 resp = _random_resp(k, nb, self.size, block[0].dtype)
                 stats = self.family.suff_stats(block, resp)
                 counts = jnp.sum(resp, axis=0)
                 return jax.tree.map(jnp.add, acc, (stats, counts))
 
             acc = None
-            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
-                            depth=prefetch) as pf:
+            with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for i, blk in enumerate(pf):
                     if acc is None:
                         shapes = jax.eval_shape(
@@ -981,6 +1013,8 @@ class BayesianMixture:
 
             @jax.jit
             def em_init_accum(acc, *block):
+                if transfer_dtype is not None:
+                    block = tuple(b.astype(jnp.float32) for b in block)
                 xb = block[0]
                 d2 = jnp.sum((xb[:, None, :] - anchors[None]) ** 2, -1)
                 resp, _ = normalize_log(-0.5 * d2 / scale2)
@@ -990,8 +1024,7 @@ class BayesianMixture:
 
             acc = None
             total = 0
-            with Prefetcher(lambda i: _as_tuple(read_block(i)), n_blocks,
-                            depth=prefetch) as pf:
+            with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for blk in pf:
                     total += blk[0].shape[0]
                     if acc is None:
@@ -1068,7 +1101,8 @@ class BayesianMixture:
 
     def fit_vi_stream_full(self, read_block, n_blocks, key=None,
                            maxiter=50, init_state=None, prefetch=2,
-                           backend='auto', block_size=None):
+                           backend='auto', block_size=None,
+                           transfer_dtype=None):
         """OUT-OF-CORE full-data VI: identical math to fit_vi_fused, with
         the dataset streamed from disk each sweep instead of resident in
         HBM — statistics additivity makes the streamed E-step exact, so
@@ -1086,26 +1120,28 @@ class BayesianMixture:
         (tests/test_native_loader.py::test_stream_full_equals_in_memory)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'vi', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size)
+                                      backend, block_size, transfer_dtype)
 
     def fit_map_stream_full(self, read_block, n_blocks, key=None,
                             maxiter=50, init_state=None, prefetch=2,
-                            backend='auto', block_size=None):
+                            backend='auto', block_size=None,
+                            transfer_dtype=None):
         """OUT-OF-CORE full-data MAP-EM (fit_map_fused streamed from
         disk; see fit_vi_stream_full). Returns (MFState, loglik trace)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'map', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size)
+                                      backend, block_size, transfer_dtype)
 
     def fit_em_stream_full(self, read_block, n_blocks, key=None,
                            maxiter=50, init_state=None, prefetch=2,
-                           backend='auto', block_size=None):
+                           backend='auto', block_size=None,
+                           transfer_dtype=None):
         """OUT-OF-CORE full-data likelihood EM (fit_em_fused streamed
         from disk; anchor init draws the K anchors from block 0).
         Returns (EMState, loglik trace)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'em', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size)
+                                      backend, block_size, transfer_dtype)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
 

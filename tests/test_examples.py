@@ -28,6 +28,7 @@ DRIVERS = [
     ('chains_smc.py', ['--chains', '4']),
     ('ilr_sinc_study.py', ['--seeds', '3', '--svi_iters', '150']),
     ('stream_svi.py', ['--n', '100000']),
+    ('dp_sticks.py', ['--draws', '2000']),
 ]
 
 

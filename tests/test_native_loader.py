@@ -273,3 +273,33 @@ def test_stream_full_pallas_and_ilr(dataset, tmp_path):
                                    rtol=1e-9, atol=1e-12)
     dx.close()
     dy.close()
+
+
+def test_stream_transfer_dtype_bf16(dataset):
+    """transfer_dtype=bfloat16: halved-wire streaming stays close to the
+    full-width result (the E-step MXU rounds its operands to bf16
+    anyway, so wire rounding adds only per-point random feature noise)."""
+    from mimo_tpu.io.loader import MmapDataset
+    from mimo_tpu.models.gmm import BayesianGMM
+    path, x = dataset
+    ds = MmapDataset(path)
+    b = 4000
+    nb = ds.shape[0] // b
+    m = BayesianGMM.make(size=6, dim=2, gating='dp', alpha=1.0,
+                         kappa=0.05, psi_scale=0.5, dtype=jnp.float32)
+    rb = lambda i: ds.read_block(i * b, b)
+    st0, _ = m.fit_vi_stream_full(rb, nb, key=1, maxiter=1)
+    stf, vf = m.fit_vi_stream_full(rb, nb, init_state=st0, maxiter=6)
+    stb, vb = m.fit_vi_stream_full(rb, nb, init_state=st0, maxiter=6,
+                                   transfer_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(vf, vb, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stf.components.mu),
+                               np.asarray(stb.components.mu),
+                               atol=5e-3)
+    st = m.fit_svi_stream(lambda i: ds.sample(np.random.default_rng(i),
+                                              512),
+                          total_size=ds.shape[0], key=2, maxiter=60,
+                          step_size=0.4, batch_size=512,
+                          transfer_dtype=jnp.bfloat16)
+    assert bool(jnp.all(jnp.isfinite(st.components.mu)))
+    ds.close()
