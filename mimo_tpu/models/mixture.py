@@ -888,7 +888,7 @@ class BayesianMixture:
 
     def _fit_epoch_stream(self, read_block, n_blocks, kind, key, maxiter,
                           init_state, prefetch, backend, block_size,
-                          transfer_dtype=None):
+                          transfer_dtype=None, mesh=None):
         """Shared engine for fit_{vi,map,em}_stream_full: each sweep is a
         full pass over the on-disk dataset in host-supplied blocks; the
         (K, m) statistics accumulator is additive across blocks (the
@@ -896,7 +896,18 @@ class BayesianMixture:
         EXACTLY the in-memory fused sweep — N is bounded by disk, not
         HBM. A background reader thread (io.stream.Prefetcher) overlaps
         the next block's disk read with the current block's h2d transfer
-        and device compute (dispatch is async)."""
+        and device compute (dispatch is async).
+
+        With `mesh` (out-of-core x multi-process): every PROCESS streams
+        its own shard of the file — `read_block(i)` returns THIS
+        process's local rows of global block i (rows ordered by the
+        process's devices in mesh order, as in fit_svi_stream(mesh=)).
+        The local rows are assembled into a global array sharded over
+        'data' via jax.make_array_from_process_local_data, the jitted
+        per-block E-step contracts over the sharded axis under GSPMD
+        (one O(K*m) all-reduce per block), and the accumulator +
+        m-step stay replicated. Executed 2-process by
+        scripts/multihost_cpu.py --epoch-stream."""
         from mimo_tpu.io.stream import Prefetcher
         from mimo_tpu.ops.family_estep import fused_estep_blockwise
 
@@ -911,9 +922,12 @@ class BayesianMixture:
             raise NotImplementedError(
                 'this family has no maximum-likelihood update')
         key = _as_key(key)
-        use_pallas = _resolve_backend(backend, spec, None)
+        use_pallas = mesh is None and _resolve_backend(backend, spec, None)
         pspec = spec if kind == 'vi' else spec._replace(
             theta=spec.theta_plugin)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            _block_sh = NamedSharding(mesh, P('data'))
         if use_pallas:
             from mimo_tpu.ops.pallas_estep import (
                 fused_estep_pallas, pick_pallas_block)
@@ -924,6 +938,23 @@ class BayesianMixture:
                 f32 = jnp.float32
                 block = tuple(b.astype(f32) for b in block)
             dtype = block[0].dtype
+            if mesh is not None:
+                # per-device blockwise scan + one (K, m) psum per block
+                # (fused_estep_sharded — same engine as fit_vi_fused's
+                # mesh path); global block rows must divide by the mesh
+                from mimo_tpu.ops.family_estep import fused_estep_sharded
+                from mimo_tpu.ops.estep import pick_block_size
+                n_dev = mesh.shape['data']
+                if nb % n_dev:
+                    raise ValueError(
+                        f'global block rows {nb} must be a multiple of '
+                        f'the data-mesh size {n_dev}')
+                local_n = nb // n_dev
+                bs = block_size or pick_block_size(local_n)
+                if local_n % bs:
+                    bs = local_n
+                return fused_estep_sharded(pspec, theta_src, log_pi,
+                                           block, bs, mesh)
             if use_pallas:
                 bs = block_size or pick_pallas_block(
                     nb, rows=self._kernel_rows(spec))
@@ -954,11 +985,21 @@ class BayesianMixture:
                             for b in blk)
             return blk
 
+        def _assemble(blk):
+            """Host rows -> global sharded arrays (main thread: device
+            puts stay off the reader thread)."""
+            if mesh is None:
+                return blk
+            import numpy as _np
+            return tuple(jax.make_array_from_process_local_data(
+                _block_sh, _np.asarray(b)) for b in blk)
+
         def sweep_estep(theta_src, log_pi):
             """One full pass over the dataset -> summed FusedEStep."""
             acc = None
             with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for blk in pf:
+                    blk = _assemble(blk)
                     if acc is None:
                         # zero accumulator with the right structure
                         shapes = jax.eval_shape(
@@ -990,6 +1031,7 @@ class BayesianMixture:
             acc = None
             with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for i, blk in enumerate(pf):
+                    blk = _assemble(blk)
                     if acc is None:
                         shapes = jax.eval_shape(
                             lambda *b: (self.family.suff_stats(
@@ -1004,6 +1046,10 @@ class BayesianMixture:
                 components=self.family.update(self.components_prior, s),
                 gating=self.gating_prior.update(c)))(stats, counts)
         else:  # em: anchor init from block 0
+            if mesh is not None:
+                raise NotImplementedError(
+                    'em anchor init is process-local; pass init_state '
+                    'with mesh= (e.g. from a probe-subset fit)')
             blk0 = _as_tuple(read_block(0))
             x0 = jnp.asarray(blk0[0])
             idx = jax.random.choice(key, x0.shape[0], (self.size,),
@@ -1026,6 +1072,7 @@ class BayesianMixture:
             total = 0
             with Prefetcher(_read, n_blocks, depth=prefetch) as pf:
                 for blk in pf:
+                    blk = _assemble(blk)
                     total += blk[0].shape[0]
                     if acc is None:
                         shapes = jax.eval_shape(
@@ -1102,7 +1149,7 @@ class BayesianMixture:
     def fit_vi_stream_full(self, read_block, n_blocks, key=None,
                            maxiter=50, init_state=None, prefetch=2,
                            backend='auto', block_size=None,
-                           transfer_dtype=None):
+                           transfer_dtype=None, mesh=None):
         """OUT-OF-CORE full-data VI: identical math to fit_vi_fused, with
         the dataset streamed from disk each sweep instead of resident in
         HBM — statistics additivity makes the streamed E-step exact, so
@@ -1120,28 +1167,31 @@ class BayesianMixture:
         (tests/test_native_loader.py::test_stream_full_equals_in_memory)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'vi', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size, transfer_dtype)
+                                      backend, block_size, transfer_dtype,
+                                      mesh)
 
     def fit_map_stream_full(self, read_block, n_blocks, key=None,
                             maxiter=50, init_state=None, prefetch=2,
                             backend='auto', block_size=None,
-                            transfer_dtype=None):
+                            transfer_dtype=None, mesh=None):
         """OUT-OF-CORE full-data MAP-EM (fit_map_fused streamed from
         disk; see fit_vi_stream_full). Returns (MFState, loglik trace)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'map', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size, transfer_dtype)
+                                      backend, block_size, transfer_dtype,
+                                      mesh)
 
     def fit_em_stream_full(self, read_block, n_blocks, key=None,
                            maxiter=50, init_state=None, prefetch=2,
                            backend='auto', block_size=None,
-                           transfer_dtype=None):
+                           transfer_dtype=None, mesh=None):
         """OUT-OF-CORE full-data likelihood EM (fit_em_fused streamed
         from disk; anchor init draws the K anchors from block 0).
         Returns (EMState, loglik trace)."""
         return self._fit_epoch_stream(read_block, n_blocks, 'em', key,
                                       maxiter, init_state, prefetch,
-                                      backend, block_size, transfer_dtype)
+                                      backend, block_size, transfer_dtype,
+                                      mesh)
 
     # -- blocked Gibbs (gmm.py:207-237) -------------------------------------
 

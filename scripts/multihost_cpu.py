@@ -185,6 +185,28 @@ def worker(args):
                                   mesh=mesh)
     out['stream_leaves'] = [fetch(a).ravel().tolist()
                             for a in jax.tree.leaves(st_str)]
+
+    # out-of-core FULL-DATA engine x multi-process (round 5): every
+    # process streams its shard of each global block; the per-block
+    # E-step contracts over the sharded axis (fused_estep_sharded) and
+    # the epoch accumulator stays replicated — must equal the 1-process
+    # oracle exactly.
+    n_blocks = 4
+    sb = s // n_blocks                         # rows per device per block
+
+    def read_block(i):
+        return np.concatenate(
+            [ds.read_block(k * s + i * sb, sb)
+             for k in range(args.devices)]).astype(dtype)
+
+    st_ep0, _ = model.fit_vi_stream_full(read_block, n_blocks, key=8,
+                                         maxiter=1, mesh=mesh)
+    st_ep, tr_ep = model.fit_vi_stream_full(read_block, n_blocks,
+                                            init_state=st_ep0, maxiter=4,
+                                            mesh=mesh)
+    out['epoch_trace'] = np.asarray(tr_ep).tolist()
+    out['epoch_leaves'] = [fetch(a).ravel().tolist()
+                           for a in jax.tree.leaves(st_ep)]
     ds.close()
     os.unlink(shard_path)
 
@@ -289,6 +311,11 @@ def launcher(args):
         for j, (la, lb) in enumerate(zip(ref['stream_leaves'],
                                          r0['stream_leaves'])):
             close(f'stream_leaf{j}', la, lb)
+    if 'epoch_trace' in ref:
+        close('epoch_trace', ref['epoch_trace'], r0['epoch_trace'])
+        for j, (la, lb) in enumerate(zip(ref['epoch_leaves'],
+                                         r0['epoch_leaves'])):
+            close(f'epoch_leaf{j}', la, lb)
     # every process must report the same replicated values
     for i, r in enumerate(runs[1:], 1):
         close(f'proc{i}_vi_trace', r0['vi_trace'], r['vi_trace'])
@@ -303,6 +330,7 @@ def launcher(args):
         engines.append('fit_chains')
     if args.backend != 'pallas':
         engines.append('fit_svi_stream')
+        engines.append('fit_vi_stream_full')
     result = {
         'ok': not bad, 'nprocs': args.nprocs,
         'devices_per_proc': args.devices, 'global_devices': world,
