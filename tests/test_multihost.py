@@ -37,7 +37,8 @@ def test_multi_process_global_mesh_matches_single_process(nprocs,
     assert result['global_devices'] == 4
     assert set(result['engines']) == {'fit_vi_fused', 'fit_gibbs_fused',
                                       'fit_svi', 'fit_map_fused',
-                                      'fit_svi_stream'}
+                                      'fit_svi_stream',
+                                      'fit_vi_stream_full'}
 
 
 @pytest.mark.slow
