@@ -120,3 +120,55 @@ def test_mnw_update_equals_nat_add():
     for a, b in zip(direct, via_nat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_tied_gibbs_exact_draws_all_families():
+    """distributions/tied_gibbs: the exact tied blocked draws for all
+    four base families — shared scale across K, correct posterior
+    concentration (nu' = nu0 + N), and prior recovery at ZERO statistics
+    (the property the Geweke harness builds its prior side on). The NIW
+    leg is Geweke-certified end-to-end; this pins the MNW/NG/MNG legs'
+    structure (not reachable through a model flag)."""
+    import jax
+    import jax.numpy as jnp
+    from mimo_tpu.distributions import niw as _niw, ng as _ng, \
+        mnw as _mnw, mng as _mng
+    from mimo_tpu.distributions.tied_gibbs import tied_gibbs_update
+
+    rng = np.random.default_rng(0)
+    kk, d, n = 4, 2, 500
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal((n, 1)))
+    resp = jax.nn.softmax(jnp.asarray(rng.standard_normal((n, kk))), -1)
+    key = jax.random.PRNGKey(0)
+
+    cases = [
+        (_niw.NIW.standard(kk, d, kappa=2.0, nu=6.0, dtype=jnp.float64),
+         _niw.suff_stats(x, resp), 'lmbda', 'nu'),
+        (_ng.NG.standard(kk, d, kappa=2.0, dtype=jnp.float64),
+         _ng.suff_stats(x, resp), 'lmbda_diag', 'alpha'),
+        (_mnw.MNW.standard(kk, 1, d, nu=5.0, dtype=jnp.float64),
+         _mnw.suff_stats(x, y, resp), 'lmbda', 'nu'),
+        (_mng.MNG.standard(kk, 1, d, dtype=jnp.float64),
+         _mnw.suff_stats(x, y, resp), 'lmbda_diag', 'alpha'),
+    ]
+    for prior, stats, scale_attr, conc_attr in cases:
+        post, params = tied_gibbs_update(key, prior, stats)
+        sc = np.asarray(getattr(params, scale_attr))
+        # shared scale: every component carries the SAME draw
+        np.testing.assert_allclose(sc[0], sc[1], rtol=0, atol=0)
+        np.testing.assert_allclose(sc[0], sc[-1], rtol=0, atol=0)
+        assert np.isfinite(np.asarray(jax.tree.leaves(params)[0])).all()
+        conc = np.asarray(getattr(post, conc_attr))
+        base = np.asarray(getattr(prior, conc_attr))
+        # concentration gains the FULL N (nu' = nu0 + N / alpha' =
+        # alpha0 + N/2), not the reference's pooled mean(n_k)
+        gain = conc.reshape(kk, -1)[0, 0] - base.reshape(kk, -1)[0, 0]
+        expect = n if conc_attr == 'nu' else n / 2
+        assert abs(gain - expect) < 1e-4 * expect, (conc_attr, gain)
+        # zero statistics -> the draw IS a prior draw (posterior == prior)
+        zs = jax.tree.map(jnp.zeros_like, stats)
+        post0, _ = tied_gibbs_update(key, prior, zs)
+        for a, b in zip(jax.tree.leaves(post0), jax.tree.leaves(prior)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-12)
