@@ -213,9 +213,11 @@ def product_family(families, data_slices) -> Family:
 
 def hier_gaussian_family(nb_iter: int = 25, gibbs_iter: int = 5) -> Family:
     """Hierarchically-tied Gaussians: shared NW hyper-prior over component
-    means + tied precision (bayesian.py:503-793). Inner coordinate-ascent /
-    Gibbs chains run `nb_iter` / `gibbs_iter` sub-iterations inside the
-    update (the reference's maxsubiter)."""
+    means + tied precision (bayesian.py:503-793). The VI update runs
+    `nb_iter` inner coordinate-ascent sub-iterations (the reference's
+    maxsubiter). `gibbs_iter` is retained for API compatibility but
+    UNUSED since round 5: the Gibbs side is the exact one-shot draw
+    (hierarchical.gibbs_update_exact), which has no inner chain."""
     from mimo_tpu.distributions import hierarchical as _h
     return Family(
         suff_stats=lambda data, resp: _niw.suff_stats(data[0], resp),
@@ -242,7 +244,11 @@ def hier_gaussian_family(nb_iter: int = 25, gibbs_iter: int = 5) -> Family:
 
 def tied_affine_family(nb_iter: int = 25, gibbs_iter: int = 25) -> Family:
     """Tied-affine experts: shared slope + shared noise, per-component
-    offsets (bayesian.py:1137-1522). data = (x, y), x NOT augmented."""
+    offsets (bayesian.py:1137-1522). data = (x, y), x NOT augmented.
+    `gibbs_iter` is retained for API compatibility but UNUSED since
+    round 5: the Gibbs side is the exact one-shot draw
+    (affine.gibbs_update_exact), which has no inner chain. The VI
+    update keeps its `nb_iter` inner coordinate ascent."""
     from mimo_tpu.distributions import affine as _aff
 
     def _raise(*a, **k):
